@@ -1,0 +1,106 @@
+"""T7 — route-template compile/eval (reference ``src/type_map.rs:14-62``,
+inline test ``src/type_map.rs:201-218``) and sink-name sanitization
+(``src/elastic.rs:156-182``)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from ulp_spark.functions import routes, sanitize, sniff
+
+
+def test_split_template():
+    assert routes.split_template("{{x.y}}_aaa_{{a.b}}_bbb") == [
+        ("x.y", True), ("_aaa_", False), ("a.b", True), ("_bbb", False),
+    ]
+    assert routes.split_template("evtx_{{provider}}") == [
+        ("evtx_", False), ("provider", True),
+    ]
+    assert routes.split_template("mft") == [("mft", False)]
+
+
+def _eval_routes(spark, template, data, fields):
+    """data: list of dicts name->(value, code); returns evaluated routes."""
+    rows = [
+        tuple(v for name in fields for v in (d.get(name, (None, sniff.NULL))))
+        for d in data
+    ]
+    safe = {n: n.replace(".", "__") for n in fields}
+    schema = ", ".join(f"{safe[n]}_v string, {safe[n]}_c int" for n in fields)
+    df = spark.createDataFrame(rows, schema)
+    col = routes.compile_template(
+        template, {n: (F.col(f"{safe[n]}_v"), F.col(f"{safe[n]}_c")) for n in fields}
+    )
+    return [r[0] for r in df.select(col).collect()]
+
+
+def test_route_reference_case(spark):
+    # src/type_map.rs:201-218: "{{x.y}}_aaa_{{a.b}}_bbb" over nested values
+    got = _eval_routes(
+        spark,
+        "{{x.y}}_aaa_{{a.b}}_bbb",
+        [{"x.y": ("apple", sniff.STR), "a.b": ("pear", sniff.STR)}],
+        ["x.y", "a.b"],
+    )
+    assert got == ["apple_aaa_pear_bbb"]
+
+
+def test_route_quirks(spark):
+    cases = [
+        ({"provider": ("Microsoft", sniff.STR)}, "evtx_Microsoft"),
+        ({}, "evtx_NONE"),                                  # missing -> NONE
+        ({"provider": ("17", sniff.INT)}, "evtx_"),         # number -> silent
+        ({"provider": ("2.5", sniff.FLOAT)}, "evtx_"),
+        ({"provider": ("true", sniff.BOOL)}, "evtx_"),
+        ({"provider": ("0", sniff.NULL)}, "evtx_"),         # JSON null value
+    ]
+    got = _eval_routes(spark, "evtx_{{provider}}", [c for c, _ in cases], ["provider"])
+    assert got == [e for _, e in cases]
+
+
+def test_route_unknown_field_is_none(spark):
+    got = _eval_routes(spark, "evtx_{{nope}}", [{}], ["provider"])
+    assert got == ["evtx_NONE"]
+
+
+SANITIZE_CASES = [
+    ("evtx_App Log/Main", "evtx_app_logmain"),
+    ("_WEIRD:NAME*", "weirdname"),
+    ("evtx_NONE", "evtx_none"),
+    ('A:B"C*D+E/F\\G|H?I#J%K>L<M', "abcdefghijklm"),
+    ("...---___x", "x"),
+    ("evtx_", "evtx_"),
+]
+
+
+def test_sanitize_spark(spark):
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(SANITIZE_CASES)],
+                               "i int, s string")
+    got = [r[0] for r in
+           df.orderBy("i").select(sanitize.sanitize_sink_name(F.col("s"))).collect()]
+    assert got == [e for _, e in SANITIZE_CASES]
+
+
+def test_sanitize_duckdb_twin():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, s) for i, (s, _) in enumerate(SANITIZE_CASES)])
+    got = [r[0] for r in con.sql(
+        f"SELECT {sanitize.sanitize_sink_name_sql('s')} FROM t ORDER BY i"
+    ).fetchall()]
+    assert got == [e for _, e in SANITIZE_CASES]
+
+
+def test_route_runtime_string_types(spark):
+    # IPv4/IPv6/Date-sniffed values are runtime strings -> route as themselves
+    # (found by driving: as_str() succeeds on them in the reference).
+    cases = [
+        ({"provider": ("10.0.0.1", sniff.IPV4)}, "evtx_10.0.0.1"),
+        ({"provider": ("::1", sniff.IPV6)}, "evtx_::1"),
+        ({"provider": ("2022-03-23T10:00:00Z", sniff.DATE)},
+         "evtx_2022-03-23T10:00:00Z"),
+    ]
+    got = _eval_routes(spark, "evtx_{{provider}}", [c for c, _ in cases], ["provider"])
+    assert got == [e for _, e in cases]

@@ -1,0 +1,129 @@
+"""T4 — string type-sniff battery vs reference semantics
+(``type_casting/src/types.rs:150-221``), on both the Spark expression and
+the DuckDB oracle twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ulp_spark.functions import sniff
+
+# (input, expected code) — straight from FIXTURES.md T4 + the nested-battery
+# quirks (str_bool -> str_int fallback) the reference tests imply.
+CASES = [
+    ("null", sniff.NULL),
+    (" NULL ", sniff.NULL),
+    ("0", sniff.NULL),
+    (" 0 ", sniff.STR),          # str_null is exact-match "0"; Rust parsers don't trim
+    ("true", sniff.BOOL),
+    ("fAlse", sniff.BOOL),
+    ("1", sniff.BOOL),           # str_bool -> str_int fallback (types.rs:163-166)
+    ("+1", sniff.BOOL),
+    ("00", sniff.BOOL),          # parses to 0
+    ("0x1", sniff.BOOL),
+    ("0x0", sniff.BOOL),
+    ("42", sniff.INT),
+    ("-9223372036854775808", sniff.INT),
+    ("9223372036854775807", sniff.INT),
+    ("9223372036854775808", sniff.FLOAT),   # i64 overflow falls to f64
+    ("0x1234", sniff.INT),
+    ("0X1234", sniff.INT),                  # hex goes through lower(trim())
+    ("0xFFFFFFFFFFFFFFFF", sniff.STR),      # hex overflow: not int, not float
+    ("2.5", sniff.FLOAT),
+    ("1.0E+123", sniff.FLOAT),
+    (".5", sniff.FLOAT),
+    ("5.", sniff.FLOAT),
+    ("inf", sniff.FLOAT),
+    ("NaN", sniff.FLOAT),
+    (" 42 ", sniff.STR),                    # no trim in Rust int/float parse
+    ("1.0.2.4", sniff.IPV4),
+    ("255.255.255.255", sniff.IPV4),
+    ("256.1.1.1", sniff.STR),
+    ("01.1.1.1", sniff.STR),                # std rejects leading zeros
+    ("0x12.12.12.12", sniff.STR),
+    ("2001:db8::1", sniff.IPV6),
+    ("0:0:0:0:0:0:0:1", sniff.IPV6),
+    ("::1", sniff.IPV6),
+    ("::", sniff.IPV6),
+    ("::ffff:1.2.3.4", sniff.IPV6),
+    ("1.0.0.0", sniff.IPV4),                # ipv4 wins (tested before ipv6)
+    ("2022-03-23T10:00:00+01:00", sniff.DATE),
+    ("2022-03-23T10:00:00Z", sniff.DATE),
+    ("2022-03-23T10:00:00.123Z", sniff.DATE),
+    ("2022-03-23 10:00:00", sniff.STR),     # RFC3339 only
+    ("not_an_int", sniff.STR),
+    ("2,147,483,647", sniff.STR),
+    (None, sniff.NULL),
+]
+
+
+@pytest.fixture(scope="module")
+def sniffed(spark):
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(CASES)], "i int, s string")
+    rows = df.select("i", sniff.sniff_code(F.col("s")).alias("c")).orderBy("i").collect()
+    return [r.c for r in rows]
+
+
+def test_sniff_spark(sniffed):
+    got = list(zip([s for s, _ in CASES], sniffed))
+    exp = list(zip([s for s, _ in CASES], [c for _, c in CASES]))
+    assert got == exp
+
+
+def test_sniff_duckdb_twin():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, s) for i, (s, _) in enumerate(CASES)])
+    rows = con.sql(
+        f"SELECT {sniff.sniff_code_sql('s')} FROM t ORDER BY i"
+    ).fetchall()
+    got = [r[0] for r in rows]
+    assert got == [c for _, c in CASES]
+
+
+def test_resolve_mask_py():
+    B = sniff.BIT
+    assert sniff.resolve_mask_py(B[sniff.NULL]) == sniff.NULL
+    for c in range(1, 8):
+        assert sniff.resolve_mask_py(B[c]) == c                       # identity
+        assert sniff.resolve_mask_py(B[sniff.NULL] | B[c]) == c       # Null ⊔ X = X
+    assert sniff.resolve_mask_py(B[sniff.BOOL] | B[sniff.INT]) == sniff.INT
+    assert sniff.resolve_mask_py(B[sniff.INT] | B[sniff.FLOAT]) == sniff.FLOAT
+    assert sniff.resolve_mask_py(B[sniff.BOOL] | B[sniff.INT] | B[sniff.FLOAT]) == sniff.FLOAT
+    assert sniff.resolve_mask_py(B[sniff.IPV4] | B[sniff.IPV6]) == sniff.STR
+    assert sniff.resolve_mask_py(B[sniff.DATE] | B[sniff.INT]) == sniff.STR
+    # pinned canonicalization of the reference's asymmetric pairs:
+    assert sniff.resolve_mask_py(B[sniff.FLOAT] | B[sniff.IPV6]) == sniff.STR
+    assert sniff.resolve_mask_py(B[sniff.FLOAT] | B[sniff.DATE]) == sniff.STR
+    assert sniff.resolve_mask_py(B[sniff.INT] | B[sniff.IPV4]) == sniff.STR
+
+
+def test_resolve_mask_spark_matches_py(spark):
+    masks = list(range(1, 256))
+    df = spark.createDataFrame([(m,) for m in masks], "m int")
+    rows = df.select("m", sniff.resolve_mask(F.col("m")).alias("c")).orderBy("m").collect()
+    for r in rows:
+        assert r.c == sniff.resolve_mask_py(r.m), f"mask={r.m}"
+
+
+def test_resolve_mask_duckdb_matches_py():
+    rows = duckdb.sql(
+        f"SELECT m, {sniff.resolve_mask_sql('m')} FROM range(1, 256) t(m) ORDER BY m"
+    ).fetchall()
+    for m, c in rows:
+        assert c == sniff.resolve_mask_py(m), f"mask={m}"
+
+
+def test_merge_is_commutative_and_associative():
+    # The property the distributed fold needs (reference merge is not
+    # commutative for (Float,IPv6)/(Float,Date) — ours is, by construction).
+    for a in range(8):
+        for b in range(8):
+            assert sniff.merge_codes_py(a, b) == sniff.merge_codes_py(b, a)
+            for c in range(8):
+                ab_c = sniff.merge_codes_py(sniff.merge_codes_py(a, b), c)
+                a_bc = sniff.merge_codes_py(a, sniff.merge_codes_py(b, c))
+                assert ab_c == a_bc

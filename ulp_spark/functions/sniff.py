@@ -1,0 +1,260 @@
+"""P6 — the string type-sniff battery, vectorized.
+
+Reference semantics (``type_casting/src/types.rs:150-221``): a JSON string's
+type is inferred from its content, tested in fixed order
+null -> bool -> int -> float -> ipv4 -> ipv6 -> date -> str.  The battery is
+*nested*: ``str_bool`` falls back to ``str_int(s) ∈ {0,1}`` and ``str_int``
+accepts decimal i64, ``0x…`` hex, and the words true/false
+(``types.rs:159-181``).  Quirks kept bit-for-bit:
+
+* ``"null"`` (trimmed, case-insensitive) OR exactly ``"0"`` (untrimmed!)
+  sniff Null (``types.rs:150-156``);
+* ``"1"``, ``"+1"``, ``"00"``, ``"0x0"``, ``"0x1"`` sniff **Bool** (the
+  str_bool -> str_int fallback, ``types.rs:159-167``);
+* decimal ints are range-checked (i64 overflow falls through to Float);
+  hex is range-checked (overflow falls through to Str);
+* Rust's int/float parsers do NOT trim — `` 42 `` is Str;
+* float accepts ``inf``/``NaN`` (``f64::from_str``);
+* date is RFC3339 only (``types.rs:197-202``).
+
+Implementation: a single ``when``-cascade of regex/try_cast checks — pure
+Catalyst expressions, no Python in the hot path.  The same regex constants
+are emitted into DuckDB oracle SQL so both engines classify identically
+(patterns use only the Java-regex ∩ RE2 subset).
+
+Documented deviations (pinned in tests/test_sniff.py):
+* decimal-int parse uses ``try_cast(bigint)`` guarded by an untrimmed regex —
+  Rust rejects inputs with internal '+' placement differences we accept none;
+* IPv6 regex covers standard forms incl. ``::`` compression and IPv4-mapped
+  tails; exotic scoped addresses (``fe80::1%eth0``) are Str here, Str in Rust
+  too (std rejects scope ids in ``Ipv6Addr``), so no drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lattice codes: stable ints used everywhere (engine, oracle SQL, manifest).
+NULL, BOOL, INT, FLOAT, IPV4, IPV6, DATE, STR = range(8)
+# Container codes (type maps only — JSON runtime containers):
+LIST, OBJECT = 8, 9
+TYPE_NAMES = ["null", "bool", "int", "float", "ipv4", "ipv6", "date", "str",
+              "list", "object"]
+# Bit per type: schema merge = bit_or of masks (associative + commutative,
+# unlike the reference's order-asymmetric merge — see resolve_mask).
+BIT = [1 << c for c in range(10)]
+
+RE_INT = r"^[+-]?[0-9]+$"                      # applied UNtrimmed (Rust i64::from_str)
+RE_HEX = r"^0x(0*[0-9a-fA-F]{1,15}|0*[0-7][0-9a-fA-F]{15})$"  # fits in i64; applied to lower(trim())
+RE_FLOAT = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+RE_FLOAT_SPECIAL = r"^[+-]?((?i)inf|infinity|nan)$"  # f64::from_str extras
+RE_IPV4 = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+# Standard IPv6 incl. :: compression and IPv4-mapped tail.
+_H = "[0-9a-fA-F]{1,4}"
+_V4TAIL = RE_IPV4[1:-1]
+RE_IPV6 = (
+    "^("
+    f"({_H}:){{7}}{_H}"
+    f"|({_H}:){{1,7}}:"
+    f"|({_H}:){{1,6}}:{_H}"
+    f"|({_H}:){{1,5}}(:{_H}){{1,2}}"
+    f"|({_H}:){{1,4}}(:{_H}){{1,3}}"
+    f"|({_H}:){{1,3}}(:{_H}){{1,4}}"
+    f"|({_H}:){{1,2}}(:{_H}){{1,5}}"
+    f"|{_H}:(:{_H}){{1,6}}"
+    f"|:((:{_H}){{1,7}}|:)"
+    f"|({_H}:){{1,4}}:{_V4TAIL}"
+    f"|::({_H}:){{0,5}}{_V4TAIL}"
+    ")$"
+)
+RE_DATE = (
+    r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$"
+)
+
+
+def _is_dec_int(col: Column) -> Column:
+    """Rust ``i64::from_str`` success (untrimmed, range-checked)."""
+    return col.rlike(RE_INT) & col.try_cast("bigint").isNotNull()
+
+
+def _is_hex_int(col: Column) -> Column:
+    """Rust hex fallback: lowercase-trimmed ``0x…`` within i64 range."""
+    return F.lower(F.trim(col)).rlike(RE_HEX)
+
+
+def _int_value(col: Column) -> Column:
+    """The i64 ``str_int`` would return (null when it errors).
+
+    Order per ``types.rs:168-181``: decimal, then hex, then true/false words.
+    """
+    low = F.lower(F.trim(col))
+    return (
+        F.when(_is_dec_int(col), col.try_cast("bigint"))
+        .when(_is_hex_int(col),
+              F.conv(F.regexp_replace(low, "^0x", ""), 16, 10).cast("bigint"))
+        .when(low == "true", F.lit(1).cast("bigint"))
+        .when(low == "false", F.lit(0).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+
+
+def sniff_code(col: Column) -> Column:
+    """Type code (0-7) for a string column — the fixed-order nested battery."""
+    low = F.lower(F.trim(col))
+    iv = _int_value(col)
+    return (
+        F.when(col.isNull(), F.lit(NULL))
+        .when((low == "null") | (col == "0"), F.lit(NULL))
+        .when((low == "true") | (low == "false") | iv.isin(0, 1), F.lit(BOOL))
+        .when(iv.isNotNull(), F.lit(INT))
+        .when(col.rlike(RE_FLOAT) | col.rlike(RE_FLOAT_SPECIAL), F.lit(FLOAT))
+        .when(col.rlike(RE_IPV4), F.lit(IPV4))
+        .when(col.rlike(RE_IPV6), F.lit(IPV6))
+        .when(col.rlike(RE_DATE), F.lit(DATE))
+        .otherwise(F.lit(STR))
+    )
+
+
+def runtime_code(code: Column) -> Column:
+    """Collapse a sniffed code to its JSON *runtime* type.
+
+    Sniffing types the map, not the value (``Types::get_type`` on
+    ``Value::String`` content, ``types.rs:29-57``): an IPv4/IPv6/Date string
+    stays a JSON string at runtime, so casts dispatch through
+    ``cast_str_with_type``.  Numeric/bool/null sniffs correspond to typed
+    JSON emitted by the parser (EVTX emits real numbers), which our parse
+    stage mirrors by materializing sniffed scalars.
+    """
+    return F.when(code.isin(IPV4, IPV6, DATE), F.lit(STR)).otherwise(code)
+
+
+def materialized_runtime_code(value: Column, code: Column) -> Column:
+    """Runtime type a parser would give this raw text when materializing
+    typed JSON: like :func:`runtime_code`, but a Float sniff only becomes a
+    runtime number when the text is a finite JSON-representable number —
+    ``inf``/``NaN``/overflowing exponents can never appear as JSON numbers,
+    so they stay runtime strings (and still type the map as Float, exactly
+    like ``Value::String("inf")`` in the reference)."""
+    finite = value.rlike(RE_FLOAT) & ~F.isnan(value.try_cast("double")) \
+        & (F.abs(value.try_cast("double")) != float("inf"))
+    return (
+        F.when((code == FLOAT) & ~finite, F.lit(STR))
+        .otherwise(runtime_code(code))
+    )
+
+
+def sniff_mask(col: Column) -> Column:
+    """Bitmask (1 << code) — feed straight into ``bit_or`` aggregation."""
+    return F.shiftleft(F.lit(1), sniff_code(col)).cast("int")
+
+
+def sniff_name(col: Column) -> Column:
+    """Human-readable type name for a string column."""
+    return F.element_at(
+        F.array(*[F.lit(n) for n in TYPE_NAMES]), sniff_code(col) + 1
+    )
+
+
+# --------------------------------------------------------------------------
+# Mask resolution — the canonical (commutative) merge lattice
+# --------------------------------------------------------------------------
+# Reference lattice (type_casting/src/lib.rs:14-166): Null identity;
+# Bool<Int<Float; X⊔Str→Str; IPv4⊔IPv6→Str; Date/IP vs numeric→Str.  The
+# reference is order-asymmetric for (Float,IPv6) and (Float,Date)
+# (lib.rs:124-125 vs :138,:145) — a parallel fold cannot reproduce an
+# order-dependent merge, so we pin the canonical commutative choice Str
+# (FIXTURES.md T6; deviation documented in SURVEY §4.3).
+
+_NUMERIC_MASK = BIT[BOOL] | BIT[INT] | BIT[FLOAT]
+
+
+def resolve_mask_py(mask: int) -> int:
+    """Python-side resolution (used by the oracle + driver-side schema)."""
+    m = mask & ~BIT[NULL]
+    if m == 0:
+        return NULL
+    if m & (m - 1) == 0:  # single bit
+        return m.bit_length() - 1
+    if m & ~_NUMERIC_MASK == 0:  # subset of {bool,int,float}
+        return FLOAT if m & BIT[FLOAT] else INT
+    return STR
+
+
+def merge_codes_py(a: int, b: int) -> int:
+    """Pairwise canonical lattice merge (oracle-side convenience)."""
+    return resolve_mask_py(BIT[a] | BIT[b])
+
+
+def resolve_mask(mask_col: Column) -> Column:
+    """Column-side resolution of a bit_or-merged mask to a type code."""
+    m = mask_col.bitwiseAND(F.lit(~BIT[NULL]))
+    single = m.bitwiseAND(m - 1) == 0
+    cascade = F.when(m == 0, F.lit(NULL))
+    for code in (BOOL, INT, FLOAT, IPV4, IPV6, DATE, STR):
+        cascade = cascade.when(single & (m == BIT[code]), F.lit(code))
+    return (
+        cascade
+        .when(m.bitwiseAND(F.lit(~_NUMERIC_MASK)) == 0,
+              F.when(m.bitwiseAND(F.lit(BIT[FLOAT])) != 0, F.lit(FLOAT))
+               .otherwise(F.lit(INT)))
+        .otherwise(F.lit(STR))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins
+# --------------------------------------------------------------------------
+
+def int_value_sql(e: str) -> str:
+    """DuckDB twin of ``_int_value`` (str_int semantics)."""
+    return f"""
+    CASE
+      WHEN regexp_matches({e}, '{RE_INT}')
+           AND try_cast({e} AS BIGINT) IS NOT NULL THEN try_cast({e} AS BIGINT)
+      WHEN regexp_matches(lower(trim({e})), '{RE_HEX}')
+        THEN try_cast(lower(trim({e})) AS BIGINT)
+      WHEN lower(trim({e})) = 'true' THEN 1
+      WHEN lower(trim({e})) = 'false' THEN 0
+      ELSE NULL
+    END
+    """
+
+
+def sniff_code_sql(e: str) -> str:
+    """DuckDB SQL computing the same type code for a VARCHAR expression."""
+    iv = int_value_sql(e)
+    return f"""
+    CASE
+      WHEN {e} IS NULL THEN {NULL}
+      WHEN lower(trim({e})) = 'null' OR {e} = '0' THEN {NULL}
+      WHEN lower(trim({e})) IN ('true','false') OR ({iv}) IN (0, 1) THEN {BOOL}
+      WHEN ({iv}) IS NOT NULL THEN {INT}
+      WHEN regexp_matches({e}, '{RE_FLOAT}')
+           OR regexp_matches({e}, '{RE_FLOAT_SPECIAL}') THEN {FLOAT}
+      WHEN regexp_matches({e}, '{RE_IPV4}') THEN {IPV4}
+      WHEN regexp_matches({e}, '{RE_IPV6}') THEN {IPV6}
+      WHEN regexp_matches({e}, '{RE_DATE}') THEN {DATE}
+      ELSE {STR}
+    END
+    """
+
+
+def resolve_mask_sql(expr: str) -> str:
+    """DuckDB SQL resolving a bit_or-merged mask to a type code."""
+    nm = _NUMERIC_MASK
+    return f"""
+    CASE
+      WHEN ({expr} & ~1) = 0 THEN {NULL}
+      WHEN (({expr} & ~1) & (({expr} & ~1) - 1)) = 0
+        THEN CAST(round(log2({expr} & ~1)) AS INTEGER)
+      WHEN (({expr} & ~1) & ~{nm}) = 0
+        THEN CASE WHEN (({expr} & ~1) & {BIT[FLOAT]}) != 0
+                  THEN {FLOAT} ELSE {INT} END
+      ELSE {STR}
+    END
+    """
