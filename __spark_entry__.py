@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship parse->enrich->route->aggregate run (SURVEY.md §3).
+``queries`` — one entry per implemented operator from SURVEY.md §2; each
+              callable takes (spark, sf_dir) and returns a DataFrame.
+``oracle_sql`` — DuckDB-equivalent SQL per query.
+
+Pipeline queries run over the deterministic synthetic fixtures
+(ulp_spark.fixtures) at a FIXED size N=10,000 — FIXTURES.md's correctness
+scale — because the oracle SQL regenerates the identical rows inside a CTE
+(same integer arithmetic in DuckDB); sf_dir does not change them.
+Table-backed queries (events/documents/embeddings) read parquet from
+sf_dir and their oracles use the driver's pre-registered DuckDB views.
 """
 
 from __future__ import annotations
@@ -12,27 +18,454 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ulp_spark import fixtures
+from ulp_spark.functions import casts, sanitize, sniff
+from ulp_spark.operators import dedup, lattice, multimodal, parse, similarity, textstats
+from ulp_spark.plans import pipeline
+
+N_FIXTURE = 10_000
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full DAG on the sf0.001-scale fixture; rows per sink."""
+    p = pipeline.build(spark, n=1_000)
+    return p.route_counts.orderBy("route")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pipeline.build(spark, n=N_FIXTURE)
+    return p.route_counts
+
+
+def _q_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse.parse_lines(fixtures.raw_lines(spark, N_FIXTURE))
+    return parsed.select(
+        "doc_id", "parser",
+        F.col("parse_error").cast("int").alias("parse_error"),
+        "provider", "level", "n",
+        F.col("provider__t").alias("provider_type"),
+    )
+
+
+def _q_route_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pipeline.build(spark, n=N_FIXTURE)
+    ok = p.routed.filter(~F.col("parse_error"))
+    fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+    return lattice.route_schema_frame(ok, fields)
+
+
+def _q_source_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pipeline.build(spark, n=N_FIXTURE)
+    return p.source_token_hist
+
+
+def _q_routed_tokens_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level token-payload invariant, SQL-comparable form: per routed row
+    the first/last token and the full-array sum (elementwise-sensitive)."""
+    p = pipeline.build(spark, n=N_FIXTURE)
+    t = F.col("tokens")
+    return p.routed_tokens.select(
+        "doc_id", "route", "n_tok",
+        F.element_at(t, 1).alias("tok_first"),
+        F.element_at(t, -1).alias("tok_last"),
+        F.aggregate(t, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x.cast("bigint")).alias("tok_sum"),
+    )
+
+
+def _q_enrich_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pipeline.build(spark, n=N_FIXTURE)
+    return (
+        p.routed.filter(~F.col("parse_error"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _q_events_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return lattice.json_field_schema(ev, "props")
+
+
+def _q_events_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = F.get_json_object(F.col("props"), "$.k")
+    code = sniff.sniff_code(v)
+    rcode = sniff.materialized_runtime_code(v, code)
+    as_int, err = casts.cast_field(v, rcode, sniff.INT)
+    return ev.select(
+        "event_id",
+        v.alias("k_raw"),
+        code.alias("k_type"),
+        as_int.alias("k_int"),
+        err.cast("int").alias("k_err"),
+    )
+
+
+def _q_sanitize_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            sanitize.sanitize_sink_name(
+                F.concat(F.lit("Sink/"), F.col("event_type"), F.lit(" V1"))
+            ).alias("sink_name")
+        )
+        .groupBy("sink_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---- training-data ops over documents/embeddings --------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn(
+        "fp", textstats.fingerprint(F.col("text")))
+    return dedup.exact_dedup(d, ["fp"], "doc_id")
+
+
+def _q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature(dedup.shingle_hashes(F.col("text")))
+    return d.select("doc_id", *sig[:4])
+
+
+def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        dedup.simhash(dedup.shingle_hashes(F.col("text"))).alias("simhash"),
+    )
+
+
+def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard over consecutive doc pairs (deterministic candidate set)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    sh = d.select("doc_id", dedup.shingle_hashes(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("id_a"),
+                  F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "id_a")
+        .select("id_a", "id_b",
+                F.round(dedup.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                .alias("jaccard"))
+    )
+
+
+def _q_doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-collision candidates (rows-only check: result depends only
+    on signatures already oracle-verified in doc_minhash)."""
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_candidates(d, "text", "doc_id")
+
+
+def _emb_query_vec(spark, sf_dir) -> list[float]:
+    row = _embs(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row.embedding]
+
+
+def _q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return similarity.brute_force_topk(
+        e, "embedding", "vec_id", _emb_query_vec(spark, sf_dir), k=10)
+
+
+def _q_emb_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    sig = similarity.srp_signature(F.col("embedding"), dim=64)
+    return e.select(sig.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    feats = textstats.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        textstats.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("tok_ws"),
+        textstats.token_count_bpe(F.col("text")).alias("tok_bpe"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.synth_binary_column(_docs(spark, sf_dir), "text", "doc_id")
+    return multimodal.extract_features(d)
+
+
+def _q_mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.synth_binary_column(_docs(spark, sf_dir), "text", "doc_id")
+    frames = multimodal.sample_frames(d, stride=16, frame_len=8)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length(F.col("frame"))).alias("frame_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipeline_route_counts": _q_route_counts,
+        "pipeline_parse_fields": _q_parse_fields,
+        "pipeline_route_schema": _q_route_schema,
+        "pipeline_source_token_hist": _q_source_token_hist,
+        "pipeline_routed_tokens_proof": _q_routed_tokens_proof,
+        "pipeline_enrich_categories": _q_enrich_categories,
+        "events_json_schema": _q_events_json_schema,
+        "events_cast_props": _q_events_cast_props,
+        "sanitize_event_types": _q_sanitize_event_types,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_minhash": _q_doc_minhash,
+        "doc_simhash": _q_doc_simhash,
+        "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+        "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "emb_topk_cosine": _q_emb_topk,
+        "emb_srp_buckets": _q_emb_srp_buckets,
+        "text_langid": _q_text_langid,
+        "text_quality": _q_text_quality,
+        "text_token_counts": _q_text_token_counts,
+        "mm_features": _q_mm_features,
+        "mm_frame_counts": _q_mm_frame_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _routed_cte() -> str:
+    return pipeline.routed_sql(N_FIXTURE)
+
+
+def _parsed_cte() -> str:
+    px = parse.parse_sql("line")
+    return f"""
+    WITH lines AS ({fixtures.raw_lines_sql(N_FIXTURE)})
+    SELECT doc_id, line,
+           {px['parser']} AS parser,
+           {px['ts']} AS ts, {px['level']} AS level,
+           {px['provider']} AS provider, {px['doc']} AS doc,
+           {px['src']} AS src, {px['n']} AS n
+    FROM lines
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    px = parse.parse_sql("line")
+    provider_expr = "provider"
+    fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+
+    # per-field bit_or masks for the route-schema oracle
+    mask_cols = ", ".join(
+        f"bit_or(1 << ({sniff.sniff_code_sql(f)})) AS mask_{f}" for f in fields
+    )
+    schema_union = " UNION ALL ".join(
+        f"SELECT route, '{f}' AS field, {sniff.resolve_mask_sql(f'mask_{f}')} AS type_code "
+        f"FROM masks" for f in fields
+    )
+
+    return {
+        "pipeline_route_counts": f"""
+            SELECT route, count(*)::BIGINT AS n_rows
+            FROM ({_routed_cte()}) GROUP BY route
+        """,
+        "pipeline_parse_fields": f"""
+            SELECT doc_id, parser,
+                   CASE WHEN parser IS NULL THEN 1 ELSE 0 END AS parse_error,
+                   provider, level, n,
+                   CAST({sniff.sniff_code_sql(provider_expr)} AS INTEGER) AS provider_type
+            FROM ({_parsed_cte()})
+        """,
+        "pipeline_route_schema": f"""
+            WITH routed AS ({_routed_cte()}),
+                 parsed AS ({_parsed_cte()}),
+                 masks AS (
+                   SELECT r.route, {mask_cols}
+                   FROM parsed p JOIN routed r USING (doc_id)
+                   WHERE p.parser IS NOT NULL
+                   GROUP BY r.route
+                 )
+            SELECT route, field, CAST(type_code AS INTEGER) AS type_code
+            FROM ({schema_union})
+        """,
+        "pipeline_source_token_hist": f"""
+            WITH routed AS ({_routed_cte()}),
+                 seq AS ({fixtures.sequences_sql(N_FIXTURE)})
+            SELECT s.source,
+                   CAST(floor((s.n_tok - 1) / {pipeline.HIST_BUCKET}) AS INTEGER) AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   sum(s.n_tok)::BIGINT AS sum_tok
+            FROM routed r JOIN seq s USING (doc_id)
+            WHERE r.parser IS NOT NULL
+            GROUP BY s.source, bucket
+        """,
+        "pipeline_routed_tokens_proof": f"""
+            WITH routed AS ({_routed_cte()}),
+                 seq AS ({fixtures.sequences_sql(N_FIXTURE)})
+            SELECT s.doc_id, r.route, s.n_tok,
+                   CAST(s.tokens[1] AS INTEGER) AS tok_first,
+                   CAST(s.tokens[-1] AS INTEGER) AS tok_last,
+                   CAST(list_aggregate(s.tokens, 'sum') AS BIGINT) AS tok_sum
+            FROM routed r JOIN seq s USING (doc_id)
+            WHERE r.parser IS NOT NULL
+        """,
+        "pipeline_enrich_categories": f"""
+            WITH parsed AS ({_parsed_cte()}),
+                 dim AS ({fixtures.pattern_dict_sql()})
+            SELECT d.category, count(*)::BIGINT AS n_rows
+            FROM parsed p LEFT JOIN dim d ON p.provider = d.provider
+            WHERE p.parser IS NOT NULL
+            GROUP BY d.category
+        """,
+        "events_json_schema": f"""
+            SELECT 'k' AS field,
+                   CAST({sniff.resolve_mask_sql(
+                       "bit_or(1 << (" + sniff.sniff_code_sql(
+                           "json_extract_string(props, '$.k')") + "))"
+                   )} AS INTEGER) AS type_code,
+                   count(*)::BIGINT AS n_values
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        """,
+        "events_cast_props": f"""
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_raw,
+                   CAST({sniff.sniff_code_sql("json_extract_string(props, '$.k')")} AS INTEGER) AS k_type,
+                   {casts.cast_to_int_sql(
+                       "json_extract_string(props, '$.k')",
+                       sniff.sniff_code_sql("json_extract_string(props, '$.k')"))} AS k_int,
+                   0 AS k_err
+            FROM events
+        """,
+        "sanitize_event_types": f"""
+            SELECT {sanitize.sanitize_sink_name_sql(
+                chr(39) + "Sink/" + chr(39) + " || event_type || ' V1'")} AS sink_name,
+                   count(*)::BIGINT AS n_rows
+            FROM events
+            GROUP BY sink_name
+        """,
+        "doc_exact_dedup": f"""
+            SELECT {textstats.fingerprint_sql('text')} AS fp,
+                   min(doc_id) AS doc_id,
+                   count(*)::BIGINT AS dup_count
+            FROM documents GROUP BY fp
+        """,
+        "doc_minhash": f"""
+            WITH sh AS (
+              SELECT doc_id, {dedup.shingle_hashes_sql('text')} AS hashes
+              FROM documents
+            )
+            SELECT doc_id,
+                   {dedup.minhash_signature_sql('hashes')[0]} AS mh_0,
+                   {dedup.minhash_signature_sql('hashes')[1]} AS mh_1,
+                   {dedup.minhash_signature_sql('hashes')[2]} AS mh_2,
+                   {dedup.minhash_signature_sql('hashes')[3]} AS mh_3
+            FROM sh
+        """,
+        "doc_simhash": f"""
+            WITH sh AS (
+              SELECT doc_id, {dedup.shingle_hashes_sql('text')} AS hashes
+              FROM documents
+            )
+            SELECT doc_id, {dedup.simhash_sql('hashes')} AS simhash FROM sh
+        """,
+        "doc_ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, {dedup.shingle_hashes_sql('text')} AS s
+              FROM documents WHERE doc_id < 50
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                        THEN len(list_intersect(a.s, b.s))::DOUBLE
+                             / len(list_distinct(a.s || b.s))
+                        ELSE 0.0 END, 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        # doc_minhash_candidates: rows-only (signature parity is already
+        # oracle-gated by doc_minhash; the bucket self-join is not worth a
+        # 4-way UNION self-join oracle)
+        "emb_topk_cosine": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        """,
+        "emb_srp_buckets": f"""
+            SELECT {similarity.srp_signature_sql('embedding::DOUBLE[]', 64)} AS bucket,
+                   count(*)::BIGINT AS n_rows
+            FROM embeddings GROUP BY bucket
+        """,
+        "text_langid": f"""
+            SELECT doc_id, {textstats.lang_id_sql('text')} AS lang_pred
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   {textstats.quality_features_sql('text')['n_tokens']} AS n_tokens,
+                   {textstats.quality_features_sql('text')['punct_ratio']} AS punct_ratio,
+                   {textstats.quality_features_sql('text')['stopword_ratio']} AS stopword_ratio,
+                   {textstats.quality_score_sql('text')} AS quality_score
+            FROM documents
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   {textstats.token_count_ws_sql('text')} AS tok_ws,
+                   {textstats.token_count_bpe_sql('text')} AS tok_bpe,
+                   {textstats.fingerprint_sql('text')} AS fp
+            FROM documents
+        """,
+        # mm_features oracle assumes ASCII text (true for the synthetic
+        # corpus): bytes == code points.
+        "mm_features": """
+            SELECT doc_id,
+                   len(text) AS n_bytes,
+                   round(list_aggregate([ord(substr(text, i, 1))
+                                         FOR i IN range(1, len(text) + 1)],
+                                        'sum')::DOUBLE / len(text), 6) AS byte_mean,
+                   [
+                     len(list_filter([ord(substr(text, i, 1))
+                                      FOR i IN range(1, len(text) + 1)],
+                                     c -> c // 64 = b))
+                     FOR b IN range(4)
+                   ] AS byte_hist
+            FROM documents
+        """,
+        "mm_frame_counts": """
+            SELECT doc_id,
+                   CAST(ceil(len(text) / 16.0) AS BIGINT) AS n_frames,
+                   CAST(list_aggregate([least(8, len(text) - o)
+                                        FOR o IN range(0, len(text), 16)],
+                                       'sum') AS BIGINT) AS frame_bytes
+            FROM documents
+        """,
+    }

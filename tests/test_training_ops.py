@@ -1,0 +1,133 @@
+"""Unit tests for the training-data operators: dedup, similarity,
+textstats, multimodal — edge cases the sf0.01 corpus doesn't hit."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ulp_spark.operators import dedup, multimodal, similarity, textstats
+
+
+def test_shingles_short_and_null(spark):
+    # sequence(1,0) descending-trap regression: <5 chars must be empty.
+    df = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, None), (4, "hello"), (5, "hello!")],
+        "id long, text string")
+    got = {r.id: r.n for r in df.select(
+        "id", F.size(dedup.shingle_hashes(F.col("text"))).alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "completely different text")],
+        "id long, text string")
+    sig = df.select("id", *dedup.minhash_signature(
+        dedup.shingle_hashes(F.col("text"))))
+    rows = {r.id: tuple(r)[1:] for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_minhash_candidates_find_clones(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, base) for i in range(4)] + [(9, "zzz completely other doc zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_candidates(df, "text", "doc_id").collect()
+    got = sorted((r.id_a, r.id_b) for r in pairs)
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    verified = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id",
+        dedup.minhash_candidates(df, "text", "doc_id"), threshold=0.99)
+    assert verified.count() == 6  # identical docs: jaccard == 1.0
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame([(0, 0b1010, 0b1000)], "i int, a int, b int")
+    got = df.select(dedup.hamming(F.col("a"), F.col("b"))).collect()[0][0]
+    assert got == 1
+
+
+def test_jaccard_empty_sets(spark):
+    df = spark.createDataFrame([(1, "", "")], "i long, a string, b string")
+    j = df.select(dedup.jaccard(
+        dedup.shingle_hashes(F.col("a")), dedup.shingle_hashes(F.col("b"))))
+    assert j.collect()[0][0] == 0.0
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 0.0], [2.0, 0.0]),
+         (3, [0.0, 0.0], [1.0, 1.0])],
+        "i long, a array<double>, b array<double>")
+    got = {r.i: r.c for r in df.select(
+        "i", F.round(similarity.cosine(F.col("a"), F.col("b")), 6).alias("c")
+    ).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 0.0}  # zero vector -> 0 by definition
+
+
+def test_srp_bucket_pref_matches_duckdb(spark):
+    vecs = [[((i * 7 + j * 3) % 11 - 5) / 10.0 for j in range(8)] for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>")
+    got = {r.id: r.b for r in df.select(
+        "id", similarity.srp_signature(F.col("v"), dim=8, nbits=4).alias("b")
+    ).collect()}
+    sql = similarity.srp_signature_sql("v", 8, nbits=4)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vecs)))
+    exp = dict(con.sql(f"SELECT id, {sql} FROM t").fetchall())
+    assert got == exp
+
+
+def test_langid_multilingual(spark):
+    df = spark.createDataFrame([
+        (1, "the cat and the dog sat in that house"),
+        (2, "der Hund und die Katze sind nicht da"),
+        (3, "le chat et la maison est une belle chose"),
+        (4, "el perro y los gatos es una cosa que pasa"),
+        (5, "xyzzy qwerty plugh"),
+    ], "id long, text string")
+    got = {r.id: r.lang for r in df.select(
+        "id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "  a  b  "), (4, "a,b c3d!")],
+        "id long, text string")
+    rows = {r.id: (r.ws, r.bpe) for r in df.select(
+        "id",
+        textstats.token_count_ws(F.col("text")).alias("ws"),
+        textstats.token_count_bpe(F.col("text")).alias("bpe")).collect()}
+    assert rows[1] == (2, 2)
+    assert rows[2] == (0, 0)
+    assert rows[3] == (2, 2)
+    assert rows[4] == (2, 7)  # a , b c 3 d !
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  WORLD!"), (2, "hello world"), (3, "different")],
+        "id long, text string")
+    got = {r.id: r.fp for r in df.select(
+        "id", textstats.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_multimodal_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+
+
+def test_multimodal_frames_shape(spark):
+    df = spark.createDataFrame([(1, "x" * 40)], "doc_id long, text string")
+    frames = multimodal.sample_frames(
+        multimodal.synth_binary_column(df, "text", "doc_id"),
+        stride=16, frame_len=8).collect()
+    assert [(r.frame_no, len(r.frame)) for r in frames] == [(0, 8), (1, 8), (2, 8)]

@@ -107,7 +107,31 @@ def _date_canonical(col: Column) -> Column:
     )
 
 
-def cast_field(value: Column, rcode: Column, target: int) -> tuple[Column, Column]:
+def helper_columns(field: str) -> list[Column]:
+    """Shared parse helpers for one field, to be SELECTed once per frame:
+    ``<f>__iv`` (str_int view), ``<f>__bv`` (str_bool), ``<f>__fv`` (f64).
+
+    These sub-expressions are big (regex + conv cascades); computing them as
+    real columns keeps downstream cast cascades O(routes) instead of
+    O(routes x |subexpr|) — without this the multi-route cast plan blows the
+    Catalyst tree (observed: JVM heap OOM at 6 fields x 6 routes).
+    """
+    c = F.col(field)
+    return [
+        sniff._int_value(c).alias(f"{field}__iv"),
+        _bool_value(c).alias(f"{field}__bv"),
+        _float_value(c).alias(f"{field}__fv"),
+    ]
+
+
+def cast_field(
+    value: Column,
+    rcode: Column,
+    target: int,
+    iv: Column | None = None,
+    bv: Column | None = None,
+    fv: Column | None = None,
+) -> tuple[Column, Column]:
     """Cast one field to a target type code.
 
     ``value`` is the field's raw string form; ``rcode`` its JSON runtime type
@@ -115,10 +139,13 @@ def cast_field(value: Column, rcode: Column, target: int) -> tuple[Column, Colum
     Returns (casted-value Column of the target's native Spark type, error
     Column).  Native types: bool->boolean, int->long, float->double,
     null->string(null), others->string.
+
+    ``iv``/``bv``/``fv`` accept pre-computed :func:`helper_columns` to avoid
+    re-inlining the heavy sub-expressions in multi-route cascades.
     """
-    iv = sniff._int_value(value)        # str_int view of the raw text
-    bv = _bool_value(value)
-    fv = _float_value(value)
+    iv = iv if iv is not None else sniff._int_value(value)
+    bv = bv if bv is not None else _bool_value(value)
+    fv = fv if fv is not None else _float_value(value)
     is_null, is_bool = rcode == NULL, rcode == BOOL
     is_int, is_float, is_str = rcode == INT, rcode == FLOAT, rcode == STR
 

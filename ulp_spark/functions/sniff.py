@@ -150,7 +150,9 @@ def materialized_runtime_code(value: Column, code: Column) -> Column:
 
 def sniff_mask(col: Column) -> Column:
     """Bitmask (1 << code) — feed straight into ``bit_or`` aggregation."""
-    return F.shiftleft(F.lit(1), sniff_code(col)).cast("int")
+    return F.element_at(
+        F.array(*[F.lit(b) for b in BIT[:8]]), sniff_code(col) + 1
+    )
 
 
 def sniff_name(col: Column) -> Column:

@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its "dedup" is at most idempotent re-ingest);
+these are the standard large-corpus techniques, each expressed Spark-first:
+
+* exact          — hash-groupBy, keep deterministic survivor (min doc_id)
+* minhash + LSH  — shingle -> 32-bit hash -> k minhashes -> b bands ->
+                   bucket-join candidates -> verified Jaccard
+* simhash        — per-bit majority vote over shingle hashes
+* n-gram Jaccard — array_intersect/union on distinct shingle sets
+
+Scale notes (the design constraints, not this box):
+* everything is expression-only until the LSH bucket self-join; that join
+  keys on (band, signature) so its shuffle moves one short row per
+  (doc, band) — candidates are then verified WITHIN buckets, never all-pairs;
+* minhash signatures are k=|HASHES| ints per doc: 10^12 docs x 16 x 8B is
+  shuffle-heavy but column-pruned to exactly the signature;
+* hot buckets (boilerplate shingles) are the skew risk: cap bucket size
+  (``max_bucket``) like production dedup pipelines cap posting lists.
+
+Portability: the shingle hash is the first 8 hex chars of md5 (identical in
+Spark and DuckDB), folded by (a*h + b) % P with P prime < 2^31 and h
+pre-reduced mod P so every product stays < 2^62 (no int64 overflow on
+either engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE = 5
+P = 2147483647  # 2^31 - 1 (Mersenne prime)
+# (a, b) pairs — deterministic, coprime with P.
+HASHES: list[tuple[int, int]] = [
+    (1000003 + 2 * i, 998244353 % P + 7 * i) for i in range(16)
+]
+BANDS, ROWS_PER_BAND = 4, 4  # 16 = BANDS * ROWS_PER_BAND
+SIMHASH_BITS = 16
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One survivor per duplicate group: the min id (deterministic)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + minhash
+# --------------------------------------------------------------------------
+
+def shingle_hashes(text: Column, size: int = SHINGLE) -> Column:
+    """Distinct 32-bit hashes of character ``size``-grams (sorted array).
+
+    Empty/short texts yield an empty array.  All JVM-side: sequence +
+    transform + md5; identical results in the DuckDB twin.
+    """
+    end = F.greatest(F.length(text) - (size - 1), F.lit(0))
+    # Guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short/
+    # null text must yield an empty set (matches DuckDB range(1, 1) = []).
+    grams = F.when(
+        end >= 1,
+        F.transform(F.sequence(F.lit(1), end), lambda i: F.substring(text, i, size)),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+    return F.array_sort(F.array_distinct(hashes))
+
+
+def shingle_hashes_sql(text: str, size: int = SHINGLE) -> str:
+    return (
+        f"list_sort(list_distinct([CAST(('0x' || substr(md5(substr({text}, i, {size})), 1, 8)) AS BIGINT) "
+        f"FOR i IN range(1, greatest(len({text}) - {size - 1}, 0) + 1)]))"
+    )
+
+
+def minhash_signature(hashes: Column) -> list[Column]:
+    """k minhash values; empty shingle set -> P (sentinel, matches twin)."""
+    out = []
+    for j, (a, b) in enumerate(HASHES):
+        perm = F.transform(hashes, lambda h: (F.lit(a) * (h % P) + F.lit(b)) % P)
+        out.append(
+            F.coalesce(F.array_min(perm), F.lit(P)).alias(f"mh_{j}")
+        )
+    return out
+
+
+def minhash_signature_sql(hashes_expr: str) -> list[str]:
+    return [
+        f"coalesce(list_min([({a} * (h % {P}) + {b}) % {P} FOR h IN {hashes_expr}]), {P})"
+        for (a, b) in HASHES
+    ]
+
+
+def band_keys(mh_cols: list[Column]) -> list[Column]:
+    """LSH bands: one compound key per band (string concat of r minhashes)."""
+    keys = []
+    for b in range(BANDS):
+        parts = mh_cols[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+        keys.append(F.concat_ws("_", *[p.cast("string") for p in parts])
+                    .alias(f"band_{b}"))
+    return keys
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH bucket collisions.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate) — the skew cap.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        *[c for c in minhash_signature(shingle_hashes(F.col(text_col)))],
+    )
+    sig = sig.select("id", *band_keys([F.col(f"mh_{j}") for j in range(len(HASHES))]))
+    pairs = None
+    for b in range(BANDS):
+        buck = sig.select("id", F.col(f"band_{b}").alias("bk"))
+        sized = buck.groupBy("bk").agg(
+            F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("n")
+        ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        pb = (
+            sized.select(F.explode(F.col("ids")).alias("id_a"), "ids")
+            .select("id_a", F.explode(F.col("ids")).alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        pairs = pb if pairs is None else pairs.unionByName(pb)
+    return pairs.distinct()
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   shingle_hashes(F.col(text_col)).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"),
+                   pairs.id_a == sh.id).drop("id")
+        .join(sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+              F.col("id_b") == F.col("id2")).drop("id2")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+
+def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-bit majority vote over the shingle hash set -> int signature."""
+    total = F.size(hashes)
+    sig = F.lit(0)
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0))
+        sig = sig + F.when(ones * 2 > total, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def simhash_sql(hashes_expr: str, bits: int = SIMHASH_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter({hashes_expr}, h -> (h & {1 << i}) != 0)) "
+            f"> len({hashes_expr}) THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    x = a.bitwiseXOR(b)
+    return sum(
+        (F.when(x.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+         for i in range(bits)),
+        start=F.lit(0),
+    )

@@ -1,0 +1,150 @@
+"""P7@record-level + J1 — cast parsed records to their route's merged schema.
+
+Reference: the ingest phase re-reads each NDJSON record, looks up its
+route's type map and recursively casts (``src/elastic.rs:76-99`` ->
+``Mapping::cast_json`` ``src/type_map.rs:174-198``), erroring the record on
+the first bad field (``type_casting/src/lib.rs:389-397``).
+
+Here the route->schema dict (A2 output, driver-side, KiB) is *compiled into
+the plan*: for every field, a ``when(route == r, cast_to(type_r))`` cascade
+— the broadcast lookup becomes literal expressions, zero joins, zero
+Python.  Two shapes:
+
+* :func:`cast_single_pass` — one DataFrame for all routes; casted values
+  carried in canonical string form + per-row ``cast_error``.  Used for
+  counting/parity and for a single ``partitionBy(route)`` fan-out write.
+* :func:`cast_per_route` — one *typed* DataFrame per route (int fields are
+  longs, bools are booleans...), the exact per-sink schema the reference
+  PUTs as an index mapping (S8).  Driver loops routes in sorted order
+  (the reference's BTreeMap iteration, ``src/workerpool.rs:104``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ulp_spark.functions import casts, sniff
+
+
+def _repr_str(value: Column, rcode: Column, target: int, helpers) -> tuple[Column, Column]:
+    """Casted value rendered canonically as a string (parity form)."""
+    val, err = casts.cast_field(value, rcode, target, **helpers)
+    if target == sniff.BOOL:
+        return F.when(val, "true").otherwise("false"), err
+    if target in (sniff.INT, sniff.FLOAT):
+        return val.cast("string"), err
+    return val, err
+
+
+def schema_dim(
+    spark, route_schemas: dict[str, dict[str, int]], fields: list[str],
+    route_col: str = "route",
+) -> DataFrame:
+    """Route -> per-field target-type dimension (KiB), the J1 broadcast dim.
+
+    This is literally the reference's ``index_pattern_mappings`` BTreeMap
+    shipped as a table (``src/type_map.rs:90-98``)."""
+    rows = [
+        tuple([r] + [route_schemas[r].get(f) for f in fields])
+        for r in sorted(route_schemas)
+    ]
+    ddl = f"{route_col} string, " + ", ".join(f"{f}__target int" for f in fields)
+    return spark.createDataFrame(rows, ddl)
+
+
+def cast_single_pass(
+    df: DataFrame,
+    route_schemas: dict[str, dict[str, int]],
+    fields: list[str],
+    route_col: str = "route",
+) -> DataFrame:
+    """All routes in one pass; adds ``<f>__cast`` string columns +
+    ``cast_error``.  Rows whose route is absent from the schema dict get
+    ``cast_error = true`` (the reference's unseen-route error,
+    ``src/type_map.rs:193-196``).
+
+    Plan shape (matters at every scale):
+    * the route->schema map joins in as a BROADCAST DIM (J1), so the per-row
+      lookup is a hash probe, not a |routes|-deep when-cascade;
+    * casts branch over the DISTINCT TARGET TYPES a field takes across all
+      routes (<= 8, usually 1-2), keyed by the joined ``<f>__target`` code;
+    * shared str_int/str_bool/str_float helpers are computed once per field.
+    A naive per-route expression cascade is O(fields x routes x |helpers|)
+    after optimizer inlining — observed to wedge Catalyst and OOM the JVM.
+    """
+    spark = df.sparkSession
+    from pyspark.sql.functions import broadcast
+
+    dim = schema_dim(spark, route_schemas, fields, route_col)
+    staged = (
+        df.join(broadcast(dim.withColumn("__known", F.lit(True))),
+                on=route_col, how="left")
+        .select("*", *[c for f in fields for c in casts.helper_columns(f)])
+    )
+    err_any = F.coalesce(F.col("__known"), F.lit(False)) == F.lit(False)
+    out_cols: list[Column] = []
+    for f in fields:
+        value, rcode = F.col(f), F.col(f"{f}__r")
+        helpers = dict(iv=F.col(f"{f}__iv"), bv=F.col(f"{f}__bv"),
+                       fv=F.col(f"{f}__fv"))
+        tcol = F.col(f"{f}__target")
+        targets = sorted({
+            s[f] for s in route_schemas.values() if s.get(f) is not None
+        })
+        casted = F.lit(None).cast("string")
+        for t in targets:
+            v, e = _repr_str(value, rcode, t, helpers)
+            casted = F.when(tcol == t, v).otherwise(casted)
+            err_any = err_any | ((tcol == t) & e)
+        out_cols.append(casted.alias(f"{f}__cast"))
+    drop_cols = [f"{f}__{s}" for f in fields for s in ("iv", "bv", "fv", "target")]
+    drop_cols.append("__known")
+    return (
+        staged.select("*", *out_cols)
+        .withColumn("cast_error", err_any)
+        .drop(*drop_cols)
+    )
+
+
+_NATIVE = {
+    sniff.NULL: "string", sniff.BOOL: "boolean", sniff.INT: "bigint",
+    sniff.FLOAT: "double", sniff.IPV4: "string", sniff.IPV6: "string",
+    sniff.DATE: "string", sniff.STR: "string",
+}
+
+
+def cast_per_route(
+    df: DataFrame,
+    route_schemas: dict[str, dict[str, int]],
+    fields: list[str],
+    route_col: str = "route",
+    keep: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Sorted {route: typed DataFrame} — each with its own native schema."""
+    out: dict[str, DataFrame] = {}
+    for r in sorted(route_schemas):
+        schema = route_schemas[r]
+        part = df.filter(F.col(route_col) == r).select(
+            "*", *[c for f in fields for c in casts.helper_columns(f)]
+        )
+        cols: list[Column] = [F.col(c) for c in (keep or [])]
+        err = F.lit(False)
+        for f in fields:
+            target = schema.get(f)
+            if target is None:
+                continue
+            v, e = casts.cast_field(
+                F.col(f), F.col(f"{f}__r"), target,
+                iv=F.col(f"{f}__iv"), bv=F.col(f"{f}__bv"), fv=F.col(f"{f}__fv"),
+            )
+            cols.append(v.cast(_NATIVE[target]).alias(f))
+            err = err | e
+        out[r] = part.select(*cols, err.alias("cast_error"))
+    return out
+
+
+def spark_schema_ddl(schema: dict[str, int]) -> str:
+    """S8 analog: route type-map -> DDL column list (reference
+    ``src/elastic.rs:38-66`` translates Types -> ES mapping JSON)."""
+    return ", ".join(f"{f} {_NATIVE[c].upper()}" for f, c in sorted(schema.items()))

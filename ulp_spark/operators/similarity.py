@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a production ANN pipeline would stage them:
+
+* brute-force cosine top-k — the exactness baseline; one narrow pass
+  computing dot/norms via ``zip_with``/``aggregate`` (JVM-side, no Python),
+  then a global top-k (``orderBy ... limit`` = Spark's TakeOrdered, which
+  is a per-partition heap + driver merge, NOT a full sort/shuffle);
+* LSH (random-hyperplane / SRP) bucketing — the scale path: each vector
+  gets a ``nbits``-bit signature; candidates = same-bucket rows, exact
+  cosine re-ranked within the bucket.  At 10^12 rows the bucket key is the
+  shuffle key and the per-bucket fan-in is bounded by signature length.
+
+Hyperplanes are deterministic integer grids ((i*31 + j*17) % 19 - 9), so
+Spark and DuckDB compute identical signatures — no RNG, no drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NBITS = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    Ties broken by id for determinism (and oracle parity).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"list_cosine_similarity({a}, {b})"
+
+
+# --------------------------------------------------------------------------
+# SRP-LSH
+# --------------------------------------------------------------------------
+
+def hyperplane(i: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane #i (integer weights)."""
+    return [((i * 31 + j * 17) % 19) - 9 for j in range(dim)]
+
+
+def srp_signature(vec: Column, dim: int, nbits: int = NBITS) -> Column:
+    """Sign-random-projection bucket id in [0, 2^nbits)."""
+    sig = F.lit(0)
+    for i in range(nbits):
+        w = F.array(*[F.lit(float(x)) for x in hyperplane(i, dim)])
+        # rounded before the sign test so float-vs-double summation order
+        # can't flip a borderline bit between engines
+        sig = sig + F.when(F.round(dot(vec, w), 4) > 0,
+                           F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def srp_signature_sql(vec: str, dim: int, nbits: int = NBITS) -> str:
+    terms = []
+    for i in range(nbits):
+        w = "[" + ", ".join(f"{float(x)}" for x in hyperplane(i, dim)) + "]"
+        terms.append(
+            f"CASE WHEN round(list_dot_product({vec}, {w}), 4) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10,
+    nbits: int = NBITS,
+) -> DataFrame:
+    """Approximate top-k: exact cosine *within the query's SRP bucket*.
+
+    The scan prunes to one bucket (a partition-pruned read when the table
+    is written partitioned/bucketed by signature), then re-ranks exactly.
+    """
+    dim = len(query)
+    sig = srp_signature(F.col(vec_col), dim, nbits)
+    # query signature computed driver-side with the same integer planes
+    qsig = 0
+    for i in range(nbits):
+        d = sum(q * w for q, w in zip(query, hyperplane(i, dim)))
+        qsig += (1 << i) if round(d, 4) > 0 else 0
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = (
+        df.withColumn("bucket", sig)
+        .filter(F.col("bucket") == qsig)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_near_dup(
+    df: DataFrame, vec_col: str, id_col: str, dim: int,
+    threshold: float = 0.95, nbits: int = NBITS, max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, SRP-bucketed.
+
+    Same skeleton as dedup.minhash_candidates: bucket -> bounded self-join
+    -> exact verify.  Returns (id_a, id_b, cos_sim >= threshold).
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        srp_signature(F.col(vec_col), dim, nbits).alias("bucket"),
+    )
+    sized = sig.groupBy("bucket").agg(
+        F.collect_list(F.struct("id", "v")).alias("rows"),
+        F.count(F.lit(1)).alias("n"),
+    ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    pairs = (
+        sized.select(F.explode("rows").alias("a"), "rows")
+        .select("a", F.explode("rows").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
