@@ -1,0 +1,139 @@
+"""S9/D1 — manifest-based resume, deterministic fan-out, salted agg,
+lineage digests, and the streaming skin."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ulp_spark.operators import agg, fanout, lattice, lineage, parse
+from ulp_spark.plans import manifest, pipeline
+
+N = 1_000
+
+
+def _routed(spark):
+    return pipeline.build(spark, n=N).routed
+
+
+def test_fanout_partitioned_write(spark, tmp_path):
+    routed = _routed(spark)
+    out = str(tmp_path / "sinks")
+    fanout.write_partitioned(routed.select("doc_id", "route"), out)
+    back = spark.read.parquet(out)
+    got = dict((r.route, r.n_rows) for r in fanout.route_counts(back).collect())
+    exp = dict((r.route, r.n_rows) for r in fanout.route_counts(routed).collect())
+    assert got == exp
+
+
+def test_resume_skips_committed_routes(spark, tmp_path):
+    routed = _routed(spark).select("doc_id", "route", "parser").cache()
+    fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+    schemas = lattice.route_schemas(pipeline.build(spark, n=N).routed, fields)
+    schemas["quarantine"] = {}
+    base = str(tmp_path / "runs")
+
+    m = manifest.new_manifest("run-001", N, schemas)
+    # phase 1: pretend we crashed after committing the first two routes
+    routes_sorted = sorted(m["routes"])
+    partial = dict(m, routes={r: dict(m["routes"][r]) for r in m["routes"]})
+    first_two = routes_sorted[:2]
+    for r in routes_sorted:
+        if r in first_two:
+            path = os.path.join(base, "run-001", "sinks", r)
+            routed.filter(F.col("route") == r).write.mode("overwrite").parquet(path)
+            partial["routes"][r].update(
+                committed=True, path=path,
+                n_rows=routed.filter(F.col("route") == r).count())
+    manifest.save(base, "run-001", partial)
+
+    # resume: only the remaining routes get written
+    loaded = manifest.load(base, "run-001")
+    assert loaded == partial
+    before = {r: loaded["routes"][r]["committed"] for r in loaded["routes"]}
+    assert sum(before.values()) == 2
+    done = manifest.resume_fanout(routed, loaded, base)
+    assert all(e["committed"] for e in done["routes"].values())
+
+    # no dup/loss: union of sinks content-equal to the input frame
+    paths = [e["path"] for e in done["routes"].values() if e["n_rows"]]
+    union = spark.read.parquet(*paths).select("doc_id", "route", "parser")
+    assert lineage.content_digest(union) == lineage.content_digest(routed)
+    assert union.count() == routed.count()
+
+    # idempotency: resuming a complete manifest writes nothing new
+    snap = json.dumps(done, sort_keys=True)
+    again = manifest.resume_fanout(routed, json.loads(snap), base)
+    assert json.dumps(again, sort_keys=True) == snap
+
+
+def test_salted_agg_matches_plain(spark):
+    seq = pipeline.build(spark, n=N).sequences
+    plain = {
+        (r.source, r.n_rows, r.sum_tok, r.max_tok)
+        for r in seq.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.max("n_tok").alias("max_tok")).collect()
+    }
+    salted = {
+        (r.source, r.n_rows, r.sum_tok, r.max_tok)
+        for r in agg.salted_agg(
+            seq.select("source", "n_tok"), ["source"],
+            [("n_rows", F.count(F.lit(1)), "sum"),
+             ("sum_tok", F.sum("n_tok"), "sum"),
+             ("max_tok", F.max("n_tok"), "max")],
+            salt_buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_partition_lineage_totals(spark):
+    seq = pipeline.build(spark, n=N).sequences.repartition(7)
+    rows = lineage.partition_lineage(seq, ["doc_id", "n_tok"]).collect()
+    assert sum(r.n_rows for r in rows) == N
+    assert len(rows) <= 7
+
+
+def test_content_digest_partition_invariant(spark):
+    a = pipeline.build(spark, n=N).sequences.repartition(3)
+    b = pipeline.build(spark, n=N).sequences.repartition(11)
+    cols = ["doc_id", "n_tok", "source"]
+    assert lineage.content_digest(a, cols) == lineage.content_digest(b, cols)
+    c = pipeline.build(spark, n=N - 1).sequences
+    assert lineage.content_digest(c, cols) != lineage.content_digest(a, cols)
+
+
+def test_streaming_availablenow_matches_batch(spark, tmp_path):
+    from ulp_spark import fixtures
+    from ulp_spark.streaming import stream
+
+    src = str(tmp_path / "src")
+    fixtures.raw_lines(spark, N).write.parquet(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = stream.stream_lines_to_routes(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    got = dict((r.route, r.n_rows) for r in fanout.route_counts(
+        spark.read.parquet(sink)).collect())
+    exp = dict((r.route, r.n_rows) for r in
+               pipeline.build(spark, n=N).route_counts.collect())
+    assert got == exp
+    # resume with no new data: no duplicates
+    q2 = stream.stream_lines_to_routes(spark, src, sink, ckpt)
+    q2.awaitTermination(60)
+    got2 = dict((r.route, r.n_rows) for r in fanout.route_counts(
+        spark.read.parquet(sink)).collect())
+    assert got2 == got
+
+
+def test_windowed_route_counts_batch(spark):
+    routed = _routed(spark).filter(~F.col("parse_error"))
+    from ulp_spark.streaming import stream
+
+    win = stream.windowed_route_counts(routed, window="5 minutes")
+    rows = win.collect()
+    assert sum(r.n_rows for r in rows) == routed.count()
+    # N=1000 seconds of data -> ceil(1000/300) = 4 windows
+    assert len({r.window_start for r in rows}) == 4

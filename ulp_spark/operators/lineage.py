@@ -33,14 +33,16 @@ def partition_lineage(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     return (
         df.select(
             F.spark_partition_id().alias("partition_id"),
-            row_hash.alias("h"),
+            # decimal(38,0) accumulator: summing 2^61-sized hashes overflows
+            # int64 within ~4 rows under ANSI arithmetic
+            row_hash.cast("decimal(38,0)").alias("h"),
             byte_len.alias("b"),
         )
         .groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("b").alias("n_bytes"),
-            F.pmod(F.sum("h"), F.lit(_M61)).alias("digest"),
+            (F.sum("h") % _M61).cast("long").alias("digest"),
         )
     )
 
@@ -53,7 +55,9 @@ def content_digest(df: DataFrame, cols: list[str] | None = None) -> int:
     """
     cs = cols or df.columns
     row_hash = F.pmod(F.xxhash64(*[F.col(c) for c in cs]), F.lit(_M61))
-    row = df.select(F.pmod(F.sum(row_hash), F.lit(_M61)).alias("d")).collect()[0]
+    row = df.select(
+        (F.sum(row_hash.cast("decimal(38,0)")) % _M61).cast("long").alias("d")
+    ).collect()[0]
     return int(row.d) if row.d is not None else 0
 
 

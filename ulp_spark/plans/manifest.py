@@ -1,0 +1,89 @@
+"""S9 — run manifest + resumable fan-out (the reference's ``mappings.json``).
+
+Reference: a completed job (paths, per-route type maps, per-file lineage)
+serializes to ``{dir}/{job_id}/mappings.json`` (``src/workerpool.rs:200-228``)
+and the ingest phase re-hydrates from it (``src/workerpool.rs:84-101``) —
+manifest-based re-entry is ulp's actual resume semantic.
+
+Here the manifest records, per run: fixture size, route list, per-route
+schemas (type codes), per-route row counts, per-route sink paths and
+commit state.  ``resume_fanout`` skips routes already committed (their
+parquet written + recorded) — re-running a half-finished job writes only
+the missing routes, and the content digest proves no dup/loss.  On a real
+deployment the commit token is the Iceberg snapshot id; directory-level
+parquet commits (_SUCCESS) model the same idempotency here.
+
+No wall-clock in the manifest body (determinism); the run id is caller-
+supplied (the reference's UUIDv4 job ids are nondeterministic — documented
+deviation SURVEY §2 P11).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def manifest_path(base: str, run_id: str) -> str:
+    return os.path.join(base, run_id, "manifest.json")
+
+
+def load(base: str, run_id: str) -> dict[str, Any] | None:
+    p = manifest_path(base, run_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save(base: str, run_id: str, manifest: dict[str, Any]) -> str:
+    p = manifest_path(base, run_id)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, p)  # atomic publish, like the reference's final write
+    return p
+
+
+def new_manifest(run_id: str, n: int, route_schemas: dict[str, dict[str, int]]
+                 ) -> dict[str, Any]:
+    return {
+        "run_id": run_id,
+        "n_sequences": n,
+        "routes": {
+            r: {"schema": s, "committed": False, "path": None, "n_rows": None}
+            for r, s in sorted(route_schemas.items())
+        },
+    }
+
+
+def resume_fanout(
+    routed: DataFrame,
+    manifest: dict[str, Any],
+    base: str,
+    route_col: str = "route",
+) -> dict[str, Any]:
+    """Write every uncommitted route's partition; returns updated manifest.
+
+    Deterministic sorted route order (reference BTreeMap iteration,
+    ``src/workerpool.rs:104``); each route commits independently, so a
+    crash between routes resumes exactly where it stopped.
+    """
+    run_dir = os.path.join(base, manifest["run_id"])
+    for route in sorted(manifest["routes"]):
+        entry = manifest["routes"][route]
+        if entry["committed"]:
+            continue
+        path = os.path.join(run_dir, "sinks", route)
+        part = routed.filter(F.col(route_col) == route)
+        part.write.mode("overwrite").parquet(path)
+        entry["path"] = path
+        entry["n_rows"] = part.count()
+        entry["committed"] = True
+        save(base, manifest["run_id"], manifest)  # commit point per route
+    return manifest
