@@ -1,0 +1,98 @@
+"""S1/S2 — glob scan + format detection + unified line reader, plus the
+per-route typed cast (cast_per_route) and DDL generation (S8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ulp_spark import fixtures
+from ulp_spark.functions import sniff
+from ulp_spark.operators import lattice, parse, route_cast
+from ulp_spark.plans import pipeline
+from ulp_spark.sources import registry
+
+
+def _mk(tmp_path, name, content: bytes):
+    p = tmp_path / name
+    p.write_bytes(content)
+    return str(p)
+
+
+def test_scan_plan_detection(tmp_path):
+    _mk(tmp_path, "a.jsonl", b'{"x": 1}\n{"x": 2}\n')
+    _mk(tmp_path, "b.log", b"2022-03-23T00:00:00Z INFO hello\n")
+    _mk(tmp_path, "c.parquet", b"PAR1xxxxPAR1")
+    _mk(tmp_path, "d.bin", b"\x00\x01\x02\x03")
+    plan = registry.plan_scan(str(tmp_path / "*"))
+    assert [p.split("/")[-1] for p in plan.groups["ndjson"]] == ["a.jsonl"]
+    assert [p.split("/")[-1] for p in plan.groups["kv_log"]] == ["b.log"]
+    assert [p.split("/")[-1] for p in plan.groups["parquet"]] == ["c.parquet"]
+    assert [p.split("/")[-1] for p in plan.unknown] == ["d.bin"]
+
+
+def test_scan_empty_glob_is_empty_not_panic(tmp_path):
+    plan = registry.plan_scan(str(tmp_path / "nope-*"))
+    assert plan.groups == {}
+
+
+def test_read_lines_union(spark, tmp_path):
+    _mk(tmp_path, "a.jsonl", b'{"x": 1}\n{"x": 2}\n')
+    _mk(tmp_path, "b.log", b"l1\nl2\nl3\n")
+    df = registry.read_lines(spark, registry.plan_scan(str(tmp_path / "*")))
+    rows = df.collect()
+    assert len(rows) == 5
+    assert {r.format for r in rows} == {"ndjson", "kv_log"}
+    assert all(r.path.endswith((".jsonl", ".log")) for r in rows)
+
+
+def test_detect_line_format(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a":1}'), (2, "2022-03-23T00:00:00Z INFO x"), (3, "garbage")],
+        "i int, line string")
+    got = {r.i: r.f for r in df.select(
+        "i", registry.detect_line_format(F.col("line")).alias("f")).collect()}
+    assert got == {1: "ndjson", 2: "kv_log", 3: "unknown"}
+
+
+def test_cast_per_route_typed_schemas(spark):
+    p = pipeline.build(spark, n=500)
+    ok = p.routed.filter(~F.col("parse_error"))
+    fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+    schemas = lattice.route_schemas(ok, fields)
+    tables = route_cast.cast_per_route(ok, schemas, fields, keep=["doc_id", "route"])
+    r = "evtx_microsoft-windows-security-auditing"
+    t = tables[r]
+    dt = dict(t.dtypes)
+    assert dt["n"] == "bigint" and dt["ts"] == "string"
+    rows = t.collect()
+    assert all(not x.cast_error for x in rows)
+    assert all(isinstance(x.n, int) for x in rows)
+    assert all(x.ts.endswith("+00:00") for x in rows)  # RFC3339 UTC re-emit
+    # evtx_: provider type Int per schema (numeric provider quirk rows)
+    t2 = tables["evtx_"]
+    assert dict(t2.dtypes)["provider"] == "bigint"
+    assert all(x.provider == 17 for x in t2.collect())
+
+
+def test_schema_ddl(spark):
+    ddl = route_cast.spark_schema_ddl(
+        {"ts": sniff.DATE, "n": sniff.INT, "provider": sniff.STR})
+    assert ddl == "n BIGINT, provider STRING, ts STRING"
+    # DDL round-trips through a real CREATE TABLE statement
+    spark.sql("DROP TABLE IF EXISTS _ddl_check")
+    spark.sql(f"CREATE TABLE _ddl_check ({ddl}) USING parquet "
+              "LOCATION '/tmp/_ddl_check'")
+    assert [f.name for f in spark.table("_ddl_check").schema.fields] == \
+        ["n", "provider", "ts"]
+    spark.sql("DROP TABLE _ddl_check")
+
+
+def test_parse_lines_pandas_equivalence(spark):
+    lines = fixtures.raw_lines(spark, 300)
+    a = parse.parse_lines(lines).select(
+        "doc_id", "parser", "parse_error", "ts", "level", "provider", "doc",
+        "src", "n").orderBy("doc_id").collect()
+    b = parse.parse_lines_pandas(lines).select(
+        "doc_id", "parser", "parse_error", "ts", "level", "provider", "doc",
+        "src", "n").orderBy("doc_id").collect()
+    assert a == b

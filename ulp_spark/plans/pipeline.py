@@ -92,11 +92,31 @@ def build(
     parsed = parse.parse_lines(lines)
     enriched = enrich.enrich(parsed, fixtures.pattern_dict(spark), on="provider")
     routed = enriched.withColumn("route", route_expr(enriched))
-    if checkpoint == "local":
-        routed = routed.localCheckpoint()
-    elif checkpoint:
-        routed.write.mode("overwrite").parquet(checkpoint)
-        routed = spark.read.parquet(checkpoint)
+    if checkpoint:
+        # Slim the materialized table: raw line kept only for quarantined
+        # rows (its one consumer — forensics/re-parse), and the derived
+        # __r runtime codes recomputed after the read (cheap expressions
+        # over persisted value+__t columns).  Persisted width drives the
+        # seam's write cost at every scale.
+        fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+        routed = routed.withColumn(
+            "line", F.when(F.col("parse_error"), F.col("line"))
+        ).drop(*[f"{f}__r" for f in fields])
+        if checkpoint == "local":
+            routed = routed.localCheckpoint()
+        else:
+            routed.write.mode("overwrite").parquet(checkpoint)
+            routed = spark.read.parquet(checkpoint)
+        from ulp_spark.functions import sniff as sniff_fn
+
+        routed = routed.select(
+            "*",
+            *[
+                sniff_fn.materialized_runtime_code(F.col(f), F.col(f"{f}__t"))
+                .alias(f"{f}__r")
+                for f in fields
+            ],
+        )
 
     route_counts = fanout.route_counts(routed)
 

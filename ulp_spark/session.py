@@ -28,6 +28,11 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic timestamp rendering regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 routes lower()/upper() through ICU case mappings by default;
+    # profiling showed CollationSupport$Lower.execBinaryICU dominating the
+    # sniff battery (~5x the whole regex stack).  The reference's semantics
+    # are to_ascii_lowercase, so JVM case mapping is both faster AND closer.
+    "spark.sql.icu.caseMappings.enabled": "false",
     # Scan splits: 128 MiB keeps partitions memory-safe at any input size.
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Dimension tables here are tiny; 64 MiB broadcast headroom.
