@@ -232,6 +232,62 @@ def _q_mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions over the event stream (absent in the
+    reference — SURVEY §2.6 — present here as engine breadth)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 6).alias("delta"),
+    )
+
+
+def _q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return total.orderBy(F.desc("total_value"), F.col("user_id")).limit(5)
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (decimal-exact on both engines)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).alias("sum_qty"),
+            F.sum(d("l_extendedprice")).alias("sum_base_price"),
+            F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                  .cast("decimal(28,4)")).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _q_events_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ulp_spark.functions import fields as fields_fn
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", fields_fn.json_path(F.col("props"), "k").alias("k_str"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_counts": _q_route_counts,
@@ -255,6 +311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_token_counts,
         "mm_features": _q_mm_features,
         "mm_frame_counts": _q_mm_frame_counts,
+        "events_windowed_deltas": _q_events_windowed,
+        "events_topk_users": _q_events_topk_users,
+        "lineitem_pricing_summary": _q_lineitem_pricing,
+        "doc_rollup_counts": _q_doc_rollup,
+        "events_json_path": _q_events_json_path,
     }
 
 
@@ -467,5 +528,41 @@ def oracle_sql() -> dict[str, str]:
                                         FOR o IN range(0, len(text), 16)],
                                        'sum') AS BIGINT) AS frame_bytes
             FROM documents
+        """,
+        "events_windowed_deltas": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER w AS INTEGER) AS seq,
+                   round(value - lag(value, 1, 0.0) OVER w, 6) AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_topk_users": """
+            SELECT user_id,
+                   sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id LIMIT 5
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4))) AS sum_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_rollup_counts": """
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY ROLLUP (source, lang)
+        """,
+        "events_json_path": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_str
+            FROM events
         """,
     }

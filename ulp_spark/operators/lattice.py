@@ -79,6 +79,84 @@ def route_schema_frame(df: DataFrame, fields: list[str], route_col: str = "route
     )
 
 
+def json_tree_schema(df: DataFrame, json_col: str):
+    """A1 full-tree: recursive type-tree inference over a JSON string column.
+
+    The distributed shape of the reference's mutex-guarded global fold
+    (``Mapping::map_json``, ``src/type_map.rs:156-161``) for arbitrarily
+    nested records: each Arrow batch folds its records into one partial
+    tree (pure Python, but O(batches) not O(rows) in transfer), the driver
+    merges the per-batch partials — the ``treeAggregate`` shape.  The
+    lattice is the canonical commutative one, so batch/partition boundaries
+    cannot change the result.
+
+    Returns an ``ulp_spark.oracle`` Tree.  Malformed JSON rows are skipped
+    (they belong to the quarantine path).
+    """
+    import json as _json
+
+    import pandas as _pd
+
+    from ulp_spark import oracle as _oracle
+    from ulp_spark.functions import sniff as _sniff
+
+    def partials(batches):
+        acc = _sniff.NULL
+        n = 0
+        for pdf in batches:
+            for s in pdf[json_col]:
+                if s is None:
+                    continue
+                try:
+                    v = _json.loads(s)
+                except ValueError:
+                    continue
+                acc = _oracle.merge_tree(acc, _oracle.get_type(v))
+                n += 1
+        yield _pd.DataFrame({"tree": [_json.dumps(_oracle.encode_tree(acc))],
+                             "n_rows": [n]})
+
+    rows = df.select(json_col).mapInPandas(partials, "tree string, n_rows long").collect()
+    final = _sniff.NULL
+    for r in rows:
+        final = _oracle.merge_tree(final, _oracle.decode_tree(_json.loads(r.tree)))
+    return final
+
+
+def tree_to_spark_type(tree):
+    """Type tree -> Spark DataType (SURVEY §1.1 mapping).
+
+    Scalars map to native types (IP/Date stay strings — the reference emits
+    normalized strings); Object -> StructType (sorted keys, BTreeMap order);
+    List -> ArrayType(elem) when all positions agree, else
+    ArrayType(String): JSON arrays can only materialize as Spark arrays
+    (from_json marks a struct-typed array corrupt), so heterogeneous lists
+    carry raw strings and the tree's positional codes drive per-position
+    casts downstream (element_at + casts.cast_field) — same reference
+    semantics (positional per-index typing), applied one step later."""
+    from pyspark.sql import types as T
+
+    from ulp_spark.functions import sniff as _sniff
+
+    _native = {
+        _sniff.NULL: T.StringType(), _sniff.BOOL: T.BooleanType(),
+        _sniff.INT: T.LongType(), _sniff.FLOAT: T.DoubleType(),
+        _sniff.IPV4: T.StringType(), _sniff.IPV6: T.StringType(),
+        _sniff.DATE: T.StringType(), _sniff.STR: T.StringType(),
+    }
+    if isinstance(tree, int):
+        return _native[tree]
+    if tree["kind"] == _sniff.OBJECT:
+        return T.StructType([
+            T.StructField(k, tree_to_spark_type(v), True)
+            for k, v in sorted(tree["children"].items())
+        ])
+    children = [tree["children"][i] for i in sorted(tree["children"])]
+    if children and all(c == children[0] for c in children):
+        return T.ArrayType(tree_to_spark_type(children[0]), True)
+    return T.ArrayType(T.StringType(), True)
+
+
 def json_field_schema(df: DataFrame, json_col: str, key_cols: list[str] | None = None
                       ) -> DataFrame:
     """Dynamic per-key schema of a JSON-object string column.
