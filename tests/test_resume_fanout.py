@@ -137,3 +137,34 @@ def test_windowed_route_counts_batch(spark):
     assert sum(r.n_rows for r in rows) == routed.count()
     # N=1000 seconds of data -> ceil(1000/300) = 4 windows
     assert len({r.window_start for r in rows}) == 4
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """Cross-batch exactly-once emission: batch 2 re-sends batch 1's ids
+    plus new ones; only the new ones come out (state survives via the
+    checkpoint)."""
+    from ulp_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "doc_id string, route string") \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id string, route string").parquet(src)
+        q = (
+            stateful.dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("d1", "r1"), ("d2", "r1"), ("d1", "r2")])  # intra-batch dup too
+    got1 = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    assert got1 == {"d1", "d2"}
+
+    run_batch([("d1", "r9"), ("d3", "r1")])  # d1 replayed across batches
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r.doc_id for r in rows) == ["d1", "d2", "d3"]  # no dup emission
