@@ -288,6 +288,26 @@ def _q_events_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", fields_fn.json_path(F.col("props"), "k").alias("k_str"))
 
 
+def _q_emb_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding near-dup machinery (SRP bucket -> bounded pair join ->
+    exact cosine), thresholded low so the fixture yields non-trivial pairs."""
+    e = _embs(spark, sf_dir)
+    return similarity.embedding_near_dup(
+        e, "embedding", "vec_id", dim=64, threshold=0.1)
+
+
+def _q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the streaming aggregate, batch side)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_counts": _q_route_counts,
@@ -316,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": _q_lineitem_pricing,
         "doc_rollup_counts": _q_doc_rollup,
         "events_json_path": _q_events_json_path,
+        "emb_bucket_pairs": _q_emb_bucket_pairs,
+        "events_tumbling_counts": _q_events_tumbling_counts,
     }
 
 
@@ -564,5 +586,27 @@ def oracle_sql() -> dict[str, str]:
         "events_json_path": """
             SELECT event_id, json_extract_string(props, '$.k') AS k_str
             FROM events
+        """,
+        "emb_bucket_pairs": f"""
+            WITH sig AS (
+              SELECT vec_id,
+                     {similarity.srp_signature_sql('embedding::DOUBLE[]', 64)} AS bucket,
+                     embedding
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) >= 0.1
+        """,
+        "events_tumbling_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+            FROM events
+            GROUP BY day, event_type
         """,
     }
