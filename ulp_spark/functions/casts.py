@@ -96,14 +96,25 @@ def ipv6_canonical(col: Column) -> Column:
 
 
 def _date_canonical(col: Column) -> Column:
-    """RFC3339 -> UTC RFC3339 with '+00:00' (chrono to_rfc3339, lib.rs:377)."""
-    base = F.try_to_timestamp(
-        F.regexp_replace(col, r"\.[0-9]+", ""), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
-    )
+    """RFC3339 -> UTC RFC3339 with '+00:00' (chrono to_rfc3339, lib.rs:377).
+
+    Implemented entirely on TIMESTAMP_NTZ + explicit offset arithmetic so
+    the result is independent of ``spark.sql.session.timeZone`` (a
+    date_format over an instant renders in session TZ — that was a latent
+    wrong-answer under non-UTC driver sessions)."""
+    stripped = F.regexp_replace(col, r"\.[0-9]+", "")
+    core = F.regexp_replace(stripped, r"(Z|[+-][0-9]{2}:[0-9]{2})$", "")
+    base = core.try_cast("timestamp_ntz")
+    off = F.regexp_extract(stripped, r"([+-][0-9]{2}:[0-9]{2})$", 1)
+    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    off_min = F.when(off == "", F.lit(0)).otherwise(
+        sign * (F.substring(off, 2, 2).cast("int") * 60
+                + F.substring(off, 5, 2).cast("int")))
+    utc = base - F.make_interval(mins=off_min)
     frac = F.regexp_extract(col, r"(\.[0-9]+)", 1)
     return F.when(
         col.rlike(RE_DATE) & base.isNotNull(),
-        F.concat(F.date_format(base, "yyyy-MM-dd'T'HH:mm:ss"), frac, F.lit("+00:00")),
+        F.concat(F.date_format(utc, "yyyy-MM-dd'T'HH:mm:ss"), frac, F.lit("+00:00")),
     )
 
 
