@@ -71,3 +71,29 @@ def test_pattern_dict_parity(spark):
     got = sorted(map(tuple, fixtures.pattern_dict(spark).collect()))
     exp = sorted(map(tuple, duckdb.sql(fixtures.pattern_dict_sql()).fetchall()))
     assert got == exp
+
+
+def test_routed_tokens_bitwise_equal_to_oracle(spark):
+    """SURVEY §5.2: routed rows' token arrays are BITWISE equal to the
+    reference oracle — compared as raw int32 buffers, not just values."""
+    from array import array
+
+    from ulp_spark.plans import pipeline
+
+    n = 2_000
+    p = pipeline.build(spark, n=n)
+    got = {r.doc_id: r.tokens for r in p.routed_tokens.collect()}
+
+    # pure-Python oracle of the generator + routing (parse misses excluded)
+    def oracle_tokens(i):
+        n_tok = (i * 7919) % 512 + 1
+        return array("i", [(i * 31 + j * 17) % 50257 for j in range(n_tok)])
+
+    expected_ids = {f"doc-{i:08d}" for i in range(n) if i % 100 < 95 or i % 100 >= 98}
+    assert set(got) == expected_ids
+    for i in range(n):
+        doc_id = f"doc-{i:08d}"
+        if doc_id not in got:
+            continue
+        exp = oracle_tokens(i)
+        assert array("i", got[doc_id]).tobytes() == exp.tobytes(), doc_id
