@@ -15,7 +15,12 @@ sf_dir and their oracles use the driver's pre-registered DuckDB views.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Importable regardless of the harness's working directory.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
