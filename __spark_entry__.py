@@ -301,6 +301,25 @@ def _q_emb_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "embedding", "vec_id", dim=64, threshold=0.1)
 
 
+def _q_emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell histogram (assignment parity check)."""
+    e = _embs(spark, sf_dir)
+    cents = similarity.ivf_centroids(e, "embedding", "vec_id", k=8)
+    return (
+        e.select(similarity.ivf_assign(F.col("embedding"), cents).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: exact cosine within the 2 nearest probed cells."""
+    e = _embs(spark, sf_dir)
+    cents = similarity.ivf_centroids(e, "embedding", "vec_id", k=8)
+    return similarity.ivf_topk(
+        e, "embedding", "vec_id", _emb_query_vec(spark, sf_dir),
+        cents, k=10, n_probe=2)
+
+
 def _q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming aggregate, batch side)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -343,6 +362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_path": _q_events_json_path,
         "emb_bucket_pairs": _q_emb_bucket_pairs,
         "events_tumbling_counts": _q_events_tumbling_counts,
+        "emb_ivf_cells": _q_emb_ivf_cells,
+        "emb_ivf_topk": _q_emb_ivf_topk,
     }
 
 
@@ -613,5 +634,54 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(value AS DECIMAL(18,2))) AS sum_value
             FROM events
             GROUP BY day, event_type
+        """,
+        # IVF oracles recompute the deterministic centroids (8 smallest ids)
+        # in SQL; nearest-cell pick = ORDER BY sim DESC, cell ASC == the
+        # engine's strictly-greater first-wins fold.
+        "emb_ivf_cells": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            assign AS (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            )
+            SELECT cell, count(*)::BIGINT AS n_rows
+            FROM assign WHERE rn = 1 GROUP BY cell
+        """,
+        "emb_ivf_topk": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            probe AS (
+              SELECT c.cell FROM cents c, q
+              ORDER BY round(list_cosine_similarity(
+                  c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC, c.cell
+              LIMIT 2
+            ),
+            assign AS (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            )
+            SELECT a.vec_id, a.cell,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM assign a
+            JOIN embeddings e ON a.vec_id = e.vec_id, q
+            WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
+            ORDER BY cos_sim DESC, a.vec_id LIMIT 10
         """,
     }

@@ -122,6 +122,72 @@ def lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str, k: int = 8
+                  ) -> list[list[float]]:
+    """Deterministic coarse centroids: the vectors of the k smallest ids.
+
+    A production IVF trains k-means; for a reproducible engine fixture the
+    sample-as-centroid variant gives the same *pipeline* (train -> assign ->
+    probe) with bit-stable assignments on every engine.  Driver-side: k
+    vectors, KiB.
+    """
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id by cosine (strictly-greater fold: first
+    centroid wins ties — same fold both engines)."""
+    best_cell, best_sim = F.lit(0), F.lit(-2.0)
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(x) for x in c])
+        sim = F.round(cosine(vec, cc), 6)
+        better = sim > best_sim
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_cell
+
+
+def ivf_assign_sql(vec: str, centroids: list[list[float]]) -> str:
+    """DuckDB twin of :func:`ivf_assign` (same sequential fold)."""
+    best_cell, best_sim = "0", "-2.0"
+    for i, c in enumerate(centroids):
+        cc = "[" + ", ".join(str(float(x)) for x in c) + "]"
+        sim = f"round(list_cosine_similarity({vec}, {cc}), 6)"
+        best_cell = f"CASE WHEN {sim} > ({best_sim}) THEN {i} ELSE {best_cell} END"
+        best_sim = f"greatest({sim}, {best_sim})"
+    return best_cell
+
+
+def ivf_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float],
+    centroids: list[list[float]], k: int = 10, n_probe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the ``n_probe`` cells nearest
+    to the query.  At cluster scale the table is written partitioned by
+    cell, so probing is partition pruning; here it's a cell-id filter."""
+    def cos_py(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return round(num / den, 6) if den > 0 else 0.0
+
+    order = sorted(range(len(centroids)),
+                   key=lambda i: (-cos_py(query, centroids[i]), i))
+    probe = order[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = (
+        df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
+        .filter(F.col("cell").isin(probe))
+        .select(F.col(id_col), "cell",
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
 def embedding_near_dup(
     df: DataFrame, vec_col: str, id_col: str, dim: int,
     threshold: float = 0.95, nbits: int = NBITS, max_bucket: int = 1000,
