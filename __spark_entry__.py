@@ -301,6 +301,26 @@ def _q_emb_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "embedding", "vec_id", dim=64, threshold=0.1)
 
 
+def _q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest prior-or-same click of
+    the same user (composition-of-builtins op; DuckDB ASOF JOIN oracle)."""
+    from ulp_spark.operators import asof
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", F.round("value", 6).alias("click_value"))
+    out = asof.asof_lookup(
+        purchases, clicks, keys=["user_id"], ts="ts",
+        right_seq="event_id", right_vals=["click_value"])
+    return out.select(
+        "user_id", "event_id",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
 def _q_emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer cell histogram (assignment parity check)."""
     e = _embs(spark, sf_dir)
@@ -364,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_counts": _q_events_tumbling_counts,
         "emb_ivf_cells": _q_emb_ivf_cells,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "events_asof_click": _q_events_asof_click,
     }
 
 
@@ -634,6 +655,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(value AS DECIMAL(18,2))) AS sum_value
             FROM events
             GROUP BY day, event_type
+        """,
+        "events_asof_click": """
+            WITH clicks AS (
+              SELECT user_id, ts, max(event_id) AS event_id,
+                     round(max_by(value, event_id), 6) AS click_value
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            ),
+            purchases AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id,
+                   c.event_id AS click_event_id,
+                   c.click_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         # IVF oracles recompute the deterministic centroids (8 smallest ids)
         # in SQL; nearest-cell pick = ORDER BY sim DESC, cell ASC == the
