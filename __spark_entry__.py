@@ -172,8 +172,8 @@ def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH band-collision candidates (rows-only check: result depends only
-    on signatures already oracle-verified in doc_minhash)."""
+    """LSH band-collision candidates, oracle-gated by the DuckDB band
+    self-join twin (dedup.minhash_candidates_sql)."""
     d = _docs(spark, sf_dir)
     return dedup.minhash_candidates(d, "text", "doc_id")
 
@@ -225,7 +225,12 @@ def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = multimodal.synth_binary_column(_docs(spark, sf_dir), "text", "doc_id")
-    return multimodal.extract_features(d)
+    # byte_hist serialized to its JSON form: the driver's canonicalizer
+    # value-hashes pandas frames, and a raw array<int> column is unhashable
+    # there (round-1 gate failure) — '[1,2,3]' renders identically in Spark
+    # F.to_json and DuckDB to_json.
+    return multimodal.extract_features(d).withColumn(
+        "byte_hist", F.to_json("byte_hist"))
 
 
 def _q_mm_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,17 +266,26 @@ def _q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary (decimal-exact on both engines)."""
+    """TPC-H Q1-shaped pricing summary.
+
+    Sums accumulate in exact decimals, then are EMITTED as rounded doubles:
+    the driver's value hash renders Spark decimal trailing zeros differently
+    from DuckDB's double fetch path (round-1 hash mismatch), so both engines
+    round-trip the final sums through one canonical primitive."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).alias("sum_qty"),
-            F.sum(d("l_extendedprice")).alias("sum_base_price"),
-            F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
-                  .cast("decimal(28,4)")).alias("sum_disc_price"),
+            F.round(F.sum(d("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(d("l_extendedprice")).cast("double"), 2)
+            .alias("sum_base_price"),
+            F.round(
+                F.sum((d("l_extendedprice")
+                       * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                      .cast("decimal(28,4)")).cast("double"), 2)
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -346,7 +360,10 @@ def _q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+             # decimal-exact accumulation, double emission (see
+             # _q_lineitem_pricing for why the hasher needs one primitive)
+             F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("sum_value"))
         .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
                 "event_type", "n_events", "sum_value")
     )
@@ -540,9 +557,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
-        # doc_minhash_candidates: rows-only (signature parity is already
-        # oracle-gated by doc_minhash; the bucket self-join is not worth a
-        # 4-way UNION self-join oracle)
+        "doc_minhash_candidates": dedup.minhash_candidates_sql(
+            "documents", "text", "doc_id"),
         "emb_topk_cosine": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[],
@@ -575,19 +591,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # mm_features oracle assumes ASCII text (true for the synthetic
-        # corpus): bytes == code points.
+        # corpus): bytes == code points.  byte_hist as its JSON string form
+        # (driver hashes can't take raw list cells).
         "mm_features": """
             SELECT doc_id,
                    len(text) AS n_bytes,
                    round(list_aggregate([ord(substr(text, i, 1))
                                          FOR i IN range(1, len(text) + 1)],
                                         'sum')::DOUBLE / len(text), 6) AS byte_mean,
-                   [
+                   CAST(to_json([
                      len(list_filter([ord(substr(text, i, 1))
                                       FOR i IN range(1, len(text) + 1)],
                                      c -> c // 64 = b))
                      FOR b IN range(4)
-                   ] AS byte_hist
+                   ]) AS VARCHAR) AS byte_hist
             FROM documents
         """,
         "mm_frame_counts": """
@@ -614,12 +631,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   round(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE, 2)
+                     AS sum_qty,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE, 2)
+                     AS sum_base_price,
+                   round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                             * (CAST(1 AS DECIMAL(18,2))
                                - CAST(l_discount AS DECIMAL(18,2)))
-                       AS DECIMAL(28,4))) AS sum_disc_price,
+                       AS DECIMAL(28,4)))::DOUBLE, 2) AS sum_disc_price,
                    count(*)::BIGINT AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -652,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
                    event_type,
                    count(*)::BIGINT AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                   round(sum(CAST(value AS DECIMAL(18,2)))::DOUBLE, 2) AS sum_value
             FROM events
             GROUP BY day, event_type
         """,

@@ -131,3 +131,33 @@ def test_multimodal_frames_shape(spark):
         multimodal.synth_binary_column(df, "text", "doc_id"),
         stride=16, frame_len=8).collect()
     assert [(r.frame_no, len(r.frame)) for r in frames] == [(0, 8), (1, 8), (2, 8)]
+
+
+def test_minhash_candidates_degenerate_bucket_capped(spark):
+    """A degenerate bucket (5k empty-text docs share the sentinel signature)
+    is dropped by the pre-count semi-join BEFORE pair materialization; the
+    plan must never hold whole posting lists (no collect_list buffers)."""
+    clones = [(i, "the quick brown fox jumps over the lazy dog") for i in range(3)]
+    empties = [(1000 + i, "") for i in range(5000)]
+    df = spark.createDataFrame(clones + empties, "doc_id long, text string")
+    cand = dedup.minhash_candidates(df, "text", "doc_id", max_bucket=100)
+    plan = cand._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    got = sorted((r.id_a, r.id_b) for r in cand.collect())
+    assert got == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_embedding_near_dup_degenerate_bucket_capped(spark):
+    """Zero vectors all land in SRP bucket 0; a 3k-row bucket must be capped
+    out by the count pre-filter, while the genuine near-dup pair survives."""
+    zeros = [(i, [0.0] * 8) for i in range(3000)]
+    a = [1.0, 0.2, -0.3, 0.5, 0.1, -0.2, 0.4, 0.05]
+    b = [x * 1.001 for x in a]
+    df = spark.createDataFrame(
+        zeros + [(9001, a), (9002, b)], "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dup(
+        df, "embedding", "vec_id", dim=8, threshold=0.95, max_bucket=1000)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    got = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert got == [(9001, 9002)]

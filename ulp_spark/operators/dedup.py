@@ -115,25 +115,76 @@ def minhash_candidates(
     """Candidate near-dup pairs (id_a < id_b) from LSH bucket collisions.
 
     ``max_bucket`` drops degenerate buckets (boilerplate) — the skew cap.
+
+    Scale shape: per-bucket posting lists are NEVER materialized.  Bucket
+    sizes come from a plain count aggregate (map-side partial combine, a few
+    bytes per bucket), hot buckets are dropped with a semi-join BEFORE the
+    pair join, and the pair explosion is an equi-self-join on (band, key) —
+    every surviving bucket contributes at most ``max_bucket``² rows and no
+    single aggregation buffer ever holds a whole bucket.  (The previous
+    ``collect_list``-then-filter shape built the full posting list of a
+    degenerate bucket — e.g. millions of empty-text docs sharing one
+    signature — in one buffer before dropping it: an OOM at 100 TB.)
     """
     sig = df.select(
         F.col(id_col).alias("id"),
         *[c for c in minhash_signature(shingle_hashes(F.col(text_col)))],
     )
     sig = sig.select("id", *band_keys([F.col(f"mh_{j}") for j in range(len(HASHES))]))
-    pairs = None
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bk"))
+            for b in range(BANDS)
+        ])).alias("e"),
+    ).select("id", "e.band", "e.bk")
+    ok = (
+        bands.groupBy("band", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bk")
+    )
+    small = bands.join(ok, ["band", "bk"], "leftsemi")
+    a = small.select("band", "bk", F.col("id").alias("id_a"))
+    b = small.select("band", "bk", F.col("id").alias("id_b"))
+    pairs = a.join(b, ["band", "bk"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def band_keys_sql(sig_exprs: list[str]) -> list[str]:
+    """DuckDB twins of :func:`band_keys` over signature expressions."""
+    keys = []
     for b in range(BANDS):
-        buck = sig.select("id", F.col(f"band_{b}").alias("bk"))
-        sized = buck.groupBy("bk").agg(
-            F.collect_list("id").alias("ids"), F.count(F.lit(1)).alias("n")
-        ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        pb = (
-            sized.select(F.explode(F.col("ids")).alias("id_a"), "ids")
-            .select("id_a", F.explode(F.col("ids")).alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
+        parts = sig_exprs[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+        keys.append(
+            "concat_ws('_', "
+            + ", ".join(f"CAST({p} AS VARCHAR)" for p in parts) + ")"
         )
-        pairs = pb if pairs is None else pairs.unionByName(pb)
-    return pairs.distinct()
+    return keys
+
+
+def minhash_candidates_sql(
+    table: str, text_col: str, id_col: str, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of :func:`minhash_candidates` (band self-join)."""
+    sig_exprs = minhash_signature_sql("hashes")
+    bands_sel = " UNION ALL ".join(
+        f"SELECT {id_col} AS id, {b} AS band, {key} AS bk FROM sh"
+        for b, key in enumerate(band_keys_sql(sig_exprs))
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col}, {shingle_hashes_sql(text_col)} AS hashes FROM {table}
+    ),
+    bands AS ({bands_sel}),
+    ok AS (
+      SELECT band, bk FROM bands GROUP BY band, bk
+      HAVING count(*) > 1 AND count(*) <= {max_bucket}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN ok USING (band, bk)
+    JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    """
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -196,22 +196,29 @@ def embedding_near_dup(
 
     Same skeleton as dedup.minhash_candidates: bucket -> bounded self-join
     -> exact verify.  Returns (id_a, id_b, cos_sim >= threshold).
+
+    Scale shape: bucket sizes come from a count aggregate (partial combine),
+    hot buckets (e.g. the all-zero-vector bucket) are dropped by a broadcast
+    semi-join (<= 2^nbits survivor keys, KiB) BEFORE the pair join, and the
+    pair explosion is an equi-self-join on the bucket key — no
+    ``collect_list`` ever materializes a whole bucket in one buffer.
     """
     sig = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         srp_signature(F.col(vec_col), dim, nbits).alias("bucket"),
     )
-    sized = sig.groupBy("bucket").agg(
-        F.collect_list(F.struct("id", "v")).alias("rows"),
-        F.count(F.lit(1)).alias("n"),
-    ).filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    ok = (
+        sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("bucket")
+    )
+    small = sig.join(F.broadcast(ok), "bucket", "leftsemi")
+    a = small.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = small.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = (
-        sized.select(F.explode("rows").alias("a"), "rows")
-        .select("a", F.explode("rows").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
-        )
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
