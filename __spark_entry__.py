@@ -171,6 +171,14 @@ def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash near-dup candidates at the production threshold:
+    4x16-bit Hamming bands (pigeonhole-complete for distance <= 3) ->
+    bucket-capped collision join -> exact bit_count(xor) verify."""
+    d = _docs(spark, sf_dir)
+    return dedup.simhash_candidates(d, "text", "doc_id", max_hamming=3)
+
+
 def _q_doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-collision candidates, oracle-gated by the DuckDB band
     self-join twin (dedup.minhash_candidates_sql)."""
@@ -335,10 +343,36 @@ def _q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_nested_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-tree recursive lattice end-to-end (A1 on nested records): mixed
+    object/list/scalar JSON folded by lattice.json_tree_schema — exercising
+    Object⊔List index-stringification (type_casting/src/lib.rs:69-86) and
+    List⊔scalar index-0 fold (lib.rs:88-97) — flattened to leaf rows."""
+    from ulp_spark import oracle as _oracle
+
+    df = fixtures.nested_json(spark, N_FIXTURE)
+    tree = lattice.json_tree_schema(df, "doc")
+    paths = _oracle.tree_to_paths(tree)
+    return spark.createDataFrame(
+        sorted(paths.items()), "path string, type_code int")
+
+
 def _q_emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer cell histogram (assignment parity check)."""
     e = _embs(spark, sf_dir)
     cents = similarity.ivf_centroids(e, "embedding", "vec_id", k=8)
+    return (
+        e.select(similarity.ivf_assign(F.col("embedding"), cents).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def _q_emb_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell histogram after ONE Lloyd iteration (train -> assign):
+    centroids recomputed as per-cell dimension means, deterministically."""
+    e = _embs(spark, sf_dir)
+    cents = similarity.ivf_centroids_trained(
+        e, "embedding", "vec_id", k=8, rounds=1)
     return (
         e.select(similarity.ivf_assign(F.col("embedding"), cents).alias("cell"))
         .groupBy("cell").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -385,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_doc_simhash,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "doc_simhash_candidates": _q_doc_simhash_candidates,
         "emb_topk_cosine": _q_emb_topk,
         "emb_srp_buckets": _q_emb_srp_buckets,
         "text_langid": _q_text_langid,
@@ -399,7 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_path": _q_events_json_path,
         "emb_bucket_pairs": _q_emb_bucket_pairs,
         "events_tumbling_counts": _q_events_tumbling_counts,
+        "events_nested_schema": _q_events_nested_schema,
         "emb_ivf_cells": _q_emb_ivf_cells,
+        "emb_ivf_cells_trained": _q_emb_ivf_cells_trained,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "events_asof_click": _q_events_asof_click,
     }
@@ -423,6 +460,49 @@ def _parsed_cte() -> str:
            {px['provider']} AS provider, {px['doc']} AS doc,
            {px['src']} AS src, {px['n']} AS n
     FROM lines
+    """
+
+
+def _nested_schema_oracle() -> str:
+    """DuckDB twin of the recursive-lattice query.  The fixture's merged
+    STRUCTURE is fixed by its two shapes (the reference's structural rules,
+    encoded per leaf below); each leaf's scalar code is independently
+    recomputed from the data via runtime-typed masks:
+
+    * ``a``: Object⊔List stringifies list indices into the object's keys
+      (lib.rs:69-86) -> leaf 'a.x' aggregates the object rows, leaves
+      'a.0'/'a.1' aggregate the list rows;
+    * ``b``: List⊔scalar folds the scalar into index 0 (lib.rs:88-97) ->
+      leaf 'b.0' aggregates ALL rows (array element 0 or the bare scalar);
+    * ``c``: plain scalar merge (Null identity).
+    """
+    def rc(jv: str) -> str:
+        return sniff.json_runtime_code_sql(f"json_type({jv})", jv)
+
+    a = "json_extract(doc, '$.a')"
+    b = "json_extract(doc, '$.b')"
+    ax = rc("json_extract(doc, '$.a.x')")
+    a0 = rc("json_extract(doc, '$.a[0]')")
+    a1 = rc("json_extract(doc, '$.a[1]')")
+    b0 = rc(f"CASE WHEN json_type({b}) = 'ARRAY' "
+            f"THEN json_extract(doc, '$.b[0]') ELSE {b} END")
+    b1 = rc("json_extract(doc, '$.b[1]')")
+    c = rc("json_extract(doc, '$.c')")
+    leaves = f"""
+      SELECT 'a.x' AS path, {ax} AS code FROM docs WHERE json_type({a}) = 'OBJECT'
+      UNION ALL SELECT 'a.0', {a0} FROM docs WHERE json_type({a}) = 'ARRAY'
+      UNION ALL SELECT 'a.1', {a1} FROM docs WHERE json_type({a}) = 'ARRAY'
+      UNION ALL SELECT 'b.0', {b0} FROM docs
+      UNION ALL SELECT 'b.1', {b1} FROM docs WHERE json_type({b}) = 'ARRAY'
+      UNION ALL SELECT 'c', {c} FROM docs
+    """
+    return f"""
+    WITH docs AS ({fixtures.nested_json_sql(N_FIXTURE)}),
+    leaf AS ({leaves})
+    SELECT path,
+           CAST({sniff.resolve_mask_sql("bit_or(1::BIGINT << code)")} AS INTEGER)
+             AS type_code
+    FROM leaf GROUP BY path
     """
 
 
@@ -493,16 +573,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.parser IS NOT NULL
             GROUP BY d.category
         """,
-        "events_json_schema": f"""
-            SELECT 'k' AS field,
-                   CAST({sniff.resolve_mask_sql(
-                       "bit_or(1 << (" + sniff.sniff_code_sql(
-                           "json_extract_string(props, '$.k')") + "))"
-                   )} AS INTEGER) AS type_code,
-                   count(*)::BIGINT AS n_values
-            FROM events
-            WHERE json_extract_string(props, '$.k') IS NOT NULL
-        """,
+        # JSON runtime typing (json_type over extracted values): numbers
+        # type directly as INT/FLOAT, never re-stringified through the
+        # sniff battery — Types::get_type parity (types.rs:29-57).
+        "events_json_schema": lattice.json_field_schema_sql("events", "props"),
         "events_cast_props": f"""
             SELECT event_id,
                    json_extract_string(props, '$.k') AS k_raw,
@@ -559,6 +633,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_candidates": dedup.minhash_candidates_sql(
             "documents", "text", "doc_id"),
+        "doc_simhash_candidates": dedup.simhash_candidates_sql(
+            "documents", "text", "doc_id", max_hamming=3),
         "emb_topk_cosine": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[],
@@ -693,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
+        "events_nested_schema": _nested_schema_oracle(),
         # IVF oracles recompute the deterministic centroids (8 smallest ids)
         # in SQL; nearest-cell pick = ORDER BY sim DESC, cell ASC == the
         # engine's strictly-greater first-wins fold.
@@ -712,6 +789,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cell, count(*)::BIGINT AS n_rows
             FROM assign WHERE rn = 1 GROUP BY cell
+        """,
+        # One Lloyd iteration recomputed in SQL: seed assignment -> per-cell
+        # per-dimension means (rounded 6 dp, same as the engine) -> second
+        # assignment with the trained centroids.  dim=64 is the embeddings
+        # fixture width (TESTDATA.md).
+        "emb_ivf_cells_trained": """
+            WITH cents0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            assign0 AS (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                         c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN cents0 c
+            ),
+            member AS (SELECT vec_id, cell FROM assign0 WHERE rn = 1),
+            means AS (
+              SELECT m.cell, g.i AS pos,
+                     round(avg(e.embedding[g.i]::DOUBLE), 6) AS mval
+              FROM member m JOIN embeddings e USING (vec_id)
+              CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g
+              GROUP BY m.cell, g.i
+            ),
+            cents1 AS (
+              SELECT c0.cell, coalesce(c1.emb, c0.embedding::DOUBLE[]) AS emb
+              FROM cents0 c0 LEFT JOIN (
+                SELECT cell, list(mval ORDER BY pos) AS emb
+                FROM means GROUP BY cell
+              ) c1 USING (cell)
+            ),
+            assign1 AS (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.emb), 6) DESC,
+                         c.cell ASC) AS rn
+              FROM embeddings e CROSS JOIN cents1 c
+            )
+            SELECT cell, count(*)::BIGINT AS n_rows
+            FROM assign1 WHERE rn = 1 GROUP BY cell
         """,
         "emb_ivf_topk": """
             WITH cents AS (

@@ -58,6 +58,8 @@ CASES = [
     ("2.5", STR, FLOAT, 2.5, False),
     ("abc", STR, FLOAT, None, True),
     ("inf", STR, FLOAT, None, True),         # Number::from_f64 gate (lib.rs:373)
+    ("1e999", STR, FLOAT, None, True),       # overflow -> +inf -> from_f64 gate
+    ("-1e999", STR, FLOAT, None, True),
     ("hello", STR, STR, "hello", False),
     ("null", STR, NULL, None, False),
     ("0", STR, NULL, None, False),

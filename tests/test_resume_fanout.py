@@ -69,6 +69,35 @@ def test_resume_skips_committed_routes(spark, tmp_path):
     assert json.dumps(again, sort_keys=True) == snap
 
 
+def test_resume_fanout_single_count_action(spark, tmp_path, monkeypatch):
+    """Row counts must come from ONE groupBy aggregate, never a per-route
+    DataFrame.count() (which re-scanned the routed frame once per route)."""
+    from pyspark.sql import DataFrame
+
+    routed = _routed(spark).select("doc_id", "route", "parser")
+    fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+    schemas = lattice.route_schemas(pipeline.build(spark, n=N).routed, fields)
+    base = str(tmp_path / "runs")
+    m = manifest.new_manifest("run-002", N, schemas)
+    manifest.save(base, "run-002", m)
+
+    calls = {"n": 0}
+    orig = DataFrame.count
+
+    def counted(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", counted)
+    done = manifest.resume_fanout(routed, m, base)
+    assert calls["n"] == 0
+    assert all(e["committed"] for e in done["routes"].values())
+    exp = {r.route: r.n for r in routed.groupBy("route")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for route, e in done["routes"].items():
+        assert e["n_rows"] == exp.get(route, 0)
+
+
 def test_salted_agg_matches_plain(spark):
     seq = pipeline.build(spark, n=N).sequences
     plain = {

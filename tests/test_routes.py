@@ -69,7 +69,14 @@ SANITIZE_CASES = [
     ("_WEIRD:NAME*", "weirdname"),
     ("evtx_NONE", "evtx_none"),
     ('A:B"C*D+E/F\\G|H?I#J%K>L<M', "abcdefghijklm"),
-    ("...---___x", "x"),
+    # SEQUENTIAL leading trims ('_' then '.' then '-', the Rust order): a
+    # mixed run is NOT fully stripped (round-1 regex ^[_.-]+ was wrong).
+    ("...---___x", "___x"),
+    ("-_foo", "_foo"),
+    ("._foo", "_foo"),
+    ("__..--x", "x"),
+    # ASCII-only lowercase (make_ascii_lowercase): non-ASCII untouched
+    ("ÉCLAIR cafe", "Éclair_cafe"),
     ("evtx_", "evtx_"),
 ]
 

@@ -48,11 +48,20 @@ CASES = [
     ("::1", sniff.IPV6),
     ("::", sniff.IPV6),
     ("::ffff:1.2.3.4", sniff.IPV6),
+    ("0:0:0:0:0:ffff:1.2.3.4", sniff.IPV6),  # uncompressed v4-embedded form
+    ("1:2::3:4.5.6.7", sniff.IPV6),          # partially-compressed v4 tail
+    ("1:2:3:4:5::1.2.3.4", sniff.IPV6),
+    ("1:2:3:4.5.6.7", sniff.STR),            # too few groups, no ::
+    ("fe80::1%eth0", sniff.STR),             # scope ids rejected (std too)
     ("1.0.0.0", sniff.IPV4),                # ipv4 wins (tested before ipv6)
     ("2022-03-23T10:00:00+01:00", sniff.DATE),
     ("2022-03-23T10:00:00Z", sniff.DATE),
     ("2022-03-23T10:00:00.123Z", sniff.DATE),
     ("2022-03-23 10:00:00", sniff.STR),     # RFC3339 only
+    ("2024-13-40T25:61:61Z", sniff.STR),    # field ranges enforced (chrono)
+    ("2024-01-10T10:00:00+99:99", sniff.STR),  # offset range enforced
+    ("2024-02-31T10:00:00Z", sniff.DATE),   # PINNED deviation: regex can't
+                                            # count month lengths (chrono: Str)
     ("not_an_int", sniff.STR),
     ("2,147,483,647", sniff.STR),
     (None, sniff.NULL),

@@ -161,3 +161,38 @@ def test_embedding_near_dup_degenerate_bucket_capped(spark):
     assert "collect_list" not in plan
     got = [(r.id_a, r.id_b) for r in pairs.collect()]
     assert got == [(9001, 9002)]
+
+
+def test_simhash64_matches_duckdb(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "une phrase totalement différente, accentuée"),
+        (3, ""),
+        (4, "shrt"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.sim_lo, r.sim_hi)
+           for r in dedup.simhash64(df, "text", "doc_id").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = {r[0]: (r[1], r[2])
+           for r in con.sql(dedup.simhash64_sql("t", "text", "doc_id")).fetchall()}
+    assert got == exp
+    assert got[0] == got[5]          # identical docs, identical signature
+    assert got[3] == (0, 0)          # empty shingle set -> all-zero signature
+
+
+def test_simhash_candidates_pigeonhole(spark):
+    """Identical docs (Hamming 0 <= 3) MUST collide in every band; the
+    banded join returns them with hamming 0.  A far doc stays out."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 2)
+            for i in range(3)]
+    rows += [(9, "entirely unrelated content about spark plans and shuffles")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in dedup.simhash_candidates(
+                     df, "text", "doc_id", max_hamming=3).collect())
+    assert got == [(0, 1, 0), (0, 2, 0), (1, 2, 0)]

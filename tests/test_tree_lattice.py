@@ -128,3 +128,41 @@ def test_struct_path(spark):
         fields.struct_path(F.col("s"), "t.xs.1").alias("x"),
     ).collect()[0]
     assert (got.n, got.x) == ("apple", 20)
+
+
+def test_json_field_schema_runtime_types(spark):
+    """Types::get_type parity: JSON numbers/bools/null map directly to their
+    codes (number 0 is Int, NOT the string-"0" Null quirk; 1 is Int, not
+    Bool); only JSON strings run the sniff battery.  Spark (variant) and the
+    DuckDB twin (json_each.type) must agree."""
+    import duckdb
+
+    from ulp_spark.operators import lattice as lat
+
+    rows = [
+        ('{"a": 0, "b": "0", "c": 1.5, "d": true, "e": null, '
+         '"f": [1, 2], "g": {"x": 1}, "h": "42"}',),
+        ('{"a": 1, "b": "null", "c": 2.5, "h": "hello"}',),
+        ("not json at all",),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    got = {
+        r.field: (r.type_code, r.n_values)
+        for r in lat.json_field_schema(df, "props").collect()
+    }
+    assert got == {
+        "a": (sniff.INT, 2),      # numbers 0 and 1: Int, never Null/Bool
+        "b": (sniff.NULL, 2),     # strings "0"/"null": the content battery
+        "c": (sniff.FLOAT, 2),
+        "d": (sniff.BOOL, 1),
+        "e": (sniff.NULL, 1),
+        "f": (sniff.LIST, 1),
+        "g": (sniff.OBJECT, 1),
+        "h": (sniff.STR, 2),      # "42" Int ⊔ "hello" Str -> Str
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    sql = lat.json_field_schema_sql("t", "props")
+    exp = {r[0]: (r[1], r[2]) for r in con.sql(sql).fetchall()}
+    assert exp == got

@@ -114,6 +114,33 @@ def raw_lines(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     return seq.select(F.col("doc_id"), line.alias("line"))
 
 
+def nested_json(spark: SparkSession, n: int) -> DataFrame:
+    """T7: mixed object/list/scalar JSON exercising the recursive-merge
+    quirks (``type_casting/src/lib.rs:69-97``): key ``a`` alternates
+    Object/List (index-stringification on merge), key ``b`` alternates
+    List/scalar (index-0 fold), key ``c`` alternates null/number."""
+    df = spark.range(0, n, 1)
+    i = F.col("id")
+    even = F.format_string('{"a": {"x": %d}, "b": [%d, "s"], "c": null}', i, i)
+    odd = F.format_string('{"a": [true, 5], "b": %d.5, "c": %d}', i, i)
+    return df.select(
+        i.alias("doc_id"),
+        F.when(i % 2 == 0, even).otherwise(odd).alias("doc"),
+    )
+
+
+def nested_json_sql(n: int) -> str:
+    """DuckDB twin of :func:`nested_json`."""
+    return f"""
+    SELECT i AS doc_id,
+      CASE WHEN i % 2 = 0
+        THEN printf('{{"a": {{"x": %d}}, "b": [%d, "s"], "c": null}}', i, i)
+        ELSE printf('{{"a": [true, 5], "b": %d.5, "c": %d}}', i, i)
+      END AS doc
+    FROM range(0, {n}) t(i)
+    """
+
+
 def pattern_dict(spark: SparkSession) -> DataFrame:
     """T3: tiny enrichment dimension — always broadcast."""
     return spark.createDataFrame(

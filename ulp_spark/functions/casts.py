@@ -64,8 +64,11 @@ def _bool_value(col: Column) -> Column:
 
 
 def _float_value(col: Column) -> Column:
-    """f64::from_str success as double (finite only — from_f64 gate)."""
-    return F.when(col.rlike(RE_FLOAT), col.try_cast("double"))
+    """f64::from_str success as double, finite only: ``Number::from_f64``
+    rejects inf/NaN (``lib.rs:371-373``), and an overflowing literal like
+    "1e999" parses to +inf — it must null out (-> cast error), not pass."""
+    raw = F.when(col.rlike(RE_FLOAT), col.try_cast("double"))
+    return F.when(~F.isnan(raw) & (F.abs(raw) != float("inf")), raw)
 
 
 _ipv6_udf = None
@@ -263,7 +266,10 @@ def cast_to_float_sql(value: str, rcode: str) -> str:
         CASE WHEN ({iv}) > {I32_MAX} THEN {float(I32_MAX)}
              WHEN ({iv}) < {I32_MIN} THEN {float(I32_MIN)}
              ELSE CAST(({iv}) AS DOUBLE) END
-      WHEN ({rcode}) IN ({FLOAT}, {STR}) THEN try_cast({value} AS DOUBLE)
+      WHEN ({rcode}) IN ({FLOAT}, {STR}) THEN
+        CASE WHEN regexp_matches({value}, '{RE_FLOAT}')
+                  AND isfinite(try_cast({value} AS DOUBLE))
+             THEN try_cast({value} AS DOUBLE) END
     END
     """
 

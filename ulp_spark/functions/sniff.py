@@ -25,9 +25,13 @@ are emitted into DuckDB oracle SQL so both engines classify identically
 Documented deviations (pinned in tests/test_sniff.py):
 * decimal-int parse uses ``try_cast(bigint)`` guarded by an untrimmed regex —
   Rust rejects inputs with internal '+' placement differences we accept none;
-* IPv6 regex covers standard forms incl. ``::`` compression and IPv4-mapped
-  tails; exotic scoped addresses (``fe80::1%eth0``) are Str here, Str in Rust
-  too (std rejects scope ids in ``Ipv6Addr``), so no drift.
+* IPv6 regex covers every text form ``Ipv6Addr::from_str`` accepts (full,
+  ``::`` compression at any position, compressed AND uncompressed
+  IPv4-embedded tails); scoped addresses (``fe80::1%eth0``) are Str here,
+  Str in Rust too (std rejects scope ids), so no drift;
+* RFC3339 ranges are regex-enforced (month/day/hour/min/sec/offset bounds)
+  but calendar-impossible dates within ranges (Feb 31) and leap seconds
+  still sniff Date — chrono would reject/accept respectively (pinned).
 """
 
 from __future__ import annotations
@@ -53,27 +57,38 @@ RE_IPV4 = (
     r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
     r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
 )
-# Standard IPv6 incl. :: compression and IPv4-mapped tail.
+# Complete IPv6 coverage (everything Rust ``Ipv6Addr::from_str`` accepts):
+# for each count g of leading uncompressed groups, the tail is either
+# 1..(7-g) compressed groups, a (possibly compressed) IPv4-embedded tail
+# (incl. the UNcompressed six-group form ``0:0:0:0:0:ffff:1.2.3.4``), or a
+# bare ``::``.  Scoped addresses (``fe80::1%eth0``) are rejected by Rust std
+# too, so no drift.
 _H = "[0-9a-fA-F]{1,4}"
 _V4TAIL = RE_IPV4[1:-1]
-RE_IPV6 = (
-    "^("
-    f"({_H}:){{7}}{_H}"
-    f"|({_H}:){{1,7}}:"
-    f"|({_H}:){{1,6}}:{_H}"
-    f"|({_H}:){{1,5}}(:{_H}){{1,2}}"
-    f"|({_H}:){{1,4}}(:{_H}){{1,3}}"
-    f"|({_H}:){{1,3}}(:{_H}){{1,4}}"
-    f"|({_H}:){{1,2}}(:{_H}){{1,5}}"
-    f"|{_H}:(:{_H}){{1,6}}"
-    f"|:((:{_H}){{1,7}}|:)"
-    f"|({_H}:){{1,4}}:{_V4TAIL}"
-    f"|::({_H}:){{0,5}}{_V4TAIL}"
-    ")$"
-)
+
+
+def _ipv6_alts() -> list[str]:
+    alts = [f"({_H}:){{7}}({_H}|:)",                       # full / 7 groups + ::
+            f"({_H}:){{6}}(:{_H}|{_V4TAIL}|:)"]            # incl. uncompressed v4
+    for g in range(5, 0, -1):
+        v4 = f"(:{_H}){{0,{5 - g}}}:{_V4TAIL}" if g < 5 else f":{_V4TAIL}"
+        alts.append(f"({_H}:){{{g}}}((:{_H}){{1,{7 - g}}}|{v4}|:)")
+    alts.append(f":((:{_H}){{1,7}}|(:{_H}){{0,5}}:{_V4TAIL}|:)")
+    return alts
+
+
+RE_IPV6 = "^(" + "|".join(_ipv6_alts()) + ")$"
+# RFC3339 with calendar/clock field ranges enforced (month 01-12, day 01-31,
+# hour 00-23, min/sec 00-59, offset hour 00-23): chrono's parse_from_rfc3339
+# rejects '2024-13-40T25:61:61Z' and '+99:99' offsets, which a shape-only
+# regex let through (they sniffed Date instead of Str).  Pinned residual
+# deviation (tests/test_sniff.py): impossible calendar dates WITHIN ranges
+# (e.g. Feb 31) and leap seconds still differ from a full calendar parse —
+# a regex can't count month lengths; documented, not silent.
 RE_DATE = (
-    r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
-    r"(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})$"
+    r"^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+    r"T([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
+    r"(\.[0-9]+)?(Z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
 )
 
 
@@ -222,7 +237,7 @@ def resolve_mask(mask_col: Column) -> Column:
     m = mask_col.bitwiseAND(F.lit(~BIT[NULL]))
     single = m.bitwiseAND(m - 1) == 0
     cascade = F.when(m == 0, F.lit(NULL))
-    for code in (BOOL, INT, FLOAT, IPV4, IPV6, DATE, STR):
+    for code in (BOOL, INT, FLOAT, IPV4, IPV6, DATE, STR, LIST, OBJECT):
         cascade = cascade.when(single & (m == BIT[code]), F.lit(code))
     return (
         cascade
@@ -267,6 +282,27 @@ def sniff_code_sql(e: str) -> str:
       WHEN regexp_matches({e}, '{RE_IPV6}') THEN {IPV6}
       WHEN regexp_matches({e}, '{RE_DATE}') THEN {DATE}
       ELSE {STR}
+    END
+    """
+
+
+def json_runtime_code_sql(jtype: str, jval: str) -> str:
+    """DuckDB twin of the JSON *runtime* typing (``Types::get_type``,
+    ``type_casting/src/types.rs:29-57``): ``jtype`` is a ``json_type()``/
+    ``json_each.type`` value, ``jval`` the JSON value.  Numbers/bools/null
+    map DIRECTLY to their codes (never sniffed); only actual JSON strings go
+    through the content battery."""
+    content = f"json_extract_string({jval}, '$')"
+    return f"""
+    CASE {jtype}
+      WHEN 'NULL' THEN {NULL}
+      WHEN 'BOOLEAN' THEN {BOOL}
+      WHEN 'BIGINT' THEN {INT}
+      WHEN 'UBIGINT' THEN {INT}
+      WHEN 'DOUBLE' THEN {FLOAT}
+      WHEN 'ARRAY' THEN {LIST}
+      WHEN 'OBJECT' THEN {OBJECT}
+      ELSE ({sniff_code_sql(content)})
     END
     """
 

@@ -242,3 +242,139 @@ def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
          for i in range(bits)),
         start=F.lit(0),
     )
+
+
+# --------------------------------------------------------------------------
+# 64-bit simhash + Hamming-banded candidate join (production shape:
+# 64 bits, Hamming <= 3, 4 x 16-bit bands — any pair within distance 3
+# shares at least one exact band by pigeonhole)
+# --------------------------------------------------------------------------
+
+def _grams(text: Column, size: int = SHINGLE) -> Column:
+    """Distinct character ``size``-grams (the shingle SET, pre-hash)."""
+    end = F.greatest(F.length(text) - (size - 1), F.lit(0))
+    grams = F.when(
+        end >= 1,
+        F.transform(F.sequence(F.lit(1), end), lambda i: F.substring(text, i, size)),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def _grams_sql(text: str, size: int = SHINGLE) -> str:
+    return (
+        f"list_distinct([substr({text}, i, {size}) "
+        f"FOR i IN range(1, greatest(len({text}) - {size - 1}, 0) + 1)])"
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit simhash as two 32-bit halves (lo = md5 hex 1-8, hi = 9-16).
+
+    Two halves instead of one 64-bit int: the hex16->int64 fold overflows
+    signed range, and two 32-bit majority votes ARE the 64-bit simhash of
+    the concatenated hash.  Hash arrays are materialized as real columns
+    before the 2x32 per-bit vote expressions so the vote cascade references
+    attributes, not re-inlined md5 transforms (casts.helper_columns rule).
+    """
+    g = df.select(F.col(id_col).alias("id"), _grams(F.col(text_col)).alias("g"))
+    h = g.select(
+        "id",
+        F.transform("g", lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
+                    .cast("bigint")).alias("lo_h"),
+        F.transform("g", lambda x: F.conv(F.substring(F.md5(x), 9, 8), 16, 10)
+                    .cast("bigint")).alias("hi_h"),
+    )
+    return h.select(
+        "id",
+        simhash(F.col("lo_h"), bits=32).alias("sim_lo"),
+        simhash(F.col("hi_h"), bits=32).alias("sim_hi"),
+    )
+
+
+def simhash64_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of :func:`simhash64` (returns a full SELECT)."""
+    return f"""
+    WITH g AS (
+      SELECT {id_col} AS id, {_grams_sql(text_col)} AS grams FROM {table}
+    ),
+    h AS (
+      SELECT id,
+        [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) FOR x IN grams] AS lo_h,
+        [CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT) FOR x IN grams] AS hi_h
+      FROM g
+    )
+    SELECT id, {simhash_sql('lo_h', 32)} AS sim_lo,
+               {simhash_sql('hi_h', 32)} AS sim_hi
+    FROM h
+    """
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str, id_col: str,
+    max_hamming: int = 3, max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit simhash: 4x16-bit band collision candidates,
+    verified with the exact Hamming distance (``bit_count(xor)``).
+
+    Same scale skeleton as :func:`minhash_candidates`: bucket sizes from a
+    count aggregate, hot bands dropped by semi-join BEFORE the pair join.
+    Returns (id_a, id_b, hamming <= max_hamming).
+    """
+    sig = simhash64(df, text_col, id_col)
+    lo, hi = F.col("sim_lo"), F.col("sim_hi")
+    band_vals = [lo.bitwiseAND(F.lit(65535)), F.shiftright(lo, 16),
+                 hi.bitwiseAND(F.lit(65535)), F.shiftright(hi, 16)]
+    bands = sig.select(
+        "id", "sim_lo", "sim_hi",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), v.alias("bk"))
+            for b, v in enumerate(band_vals)
+        ])).alias("e"),
+    ).select("id", "sim_lo", "sim_hi", "e.band", "e.bk")
+    ok = (
+        bands.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bk")
+    )
+    small = bands.join(ok, ["band", "bk"], "leftsemi")
+    a = small.select("band", "bk", F.col("id").alias("id_a"),
+                     F.col("sim_lo").alias("lo_a"), F.col("sim_hi").alias("hi_a"))
+    b = small.select("band", "bk", F.col("id").alias("id_b"),
+                     F.col("sim_lo").alias("lo_b"), F.col("sim_hi").alias("hi_b"))
+    ham = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+           + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+    pairs = (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_candidates_sql(
+    table: str, text_col: str, id_col: str,
+    max_hamming: int = 3, max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`simhash_candidates`."""
+    band_vals = ["sim_lo & 65535", "sim_lo >> 16", "sim_hi & 65535", "sim_hi >> 16"]
+    bands_sel = " UNION ALL ".join(
+        f"SELECT id, sim_lo, sim_hi, {b} AS band, {v} AS bk FROM s"
+        for b, v in enumerate(band_vals)
+    )
+    return f"""
+    WITH s AS ({simhash64_sql(table, text_col, id_col)}),
+    bands AS ({bands_sel}),
+    ok AS (
+      SELECT band, bk FROM bands GROUP BY band, bk
+      HAVING count(*) > 1 AND count(*) <= {max_bucket}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+             + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
+      FROM bands a JOIN ok USING (band, bk)
+      JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """

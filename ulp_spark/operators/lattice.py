@@ -79,6 +79,30 @@ def route_schema_frame(df: DataFrame, fields: list[str], route_col: str = "route
     )
 
 
+def json_field_schema_sql(table: str, json_col: str) -> str:
+    """DuckDB twin of :func:`json_field_schema` (this DuckDB build has no
+    ``json_each`` TVF: keys come from ``json_keys`` + unnest, per-key values
+    from ``json_extract``; a JSON null extracts to SQL NULL, whose untyped
+    path lands on the NULL code in both engines)."""
+    from ulp_spark.functions import sniff as _sniff
+
+    code = _sniff.json_runtime_code_sql("json_type(jval)", "jval")
+    mask = f"bit_or(1::BIGINT << ({code}))"
+    return f"""
+    WITH kv AS (
+      SELECT unnest(json_keys({json_col})) AS field, {json_col} AS j
+      FROM {table} WHERE json_valid({json_col})
+    ),
+    vals AS (
+      SELECT field, json_extract(j, '$."' || field || '"') AS jval FROM kv
+    )
+    SELECT field,
+           CAST({_sniff.resolve_mask_sql(mask)} AS INTEGER) AS type_code,
+           count(*)::BIGINT AS n_values
+    FROM vals GROUP BY field
+    """
+
+
 def json_tree_schema(df: DataFrame, json_col: str):
     """A1 full-tree: recursive type-tree inference over a JSON string column.
 
@@ -157,26 +181,55 @@ def tree_to_spark_type(tree):
     return T.ArrayType(T.StringType(), True)
 
 
+def json_runtime_code(variant_value) -> "F.Column":
+    """JSON *runtime* type code of a VARIANT value (``Types::get_type``,
+    ``type_casting/src/types.rs:29-57``): numbers/bools/null map DIRECTLY to
+    INT/FLOAT/BOOL/NULL — they are never re-stringified and sniffed (JSON
+    number ``0`` is Int, not the ``"0"``-string Null quirk; ``1`` is Int,
+    not Bool).  Only actual JSON strings run the content battery.  Variant
+    preserves quotedness, which ``from_json(map<string,string>)`` destroyed
+    (the round-1 bias this replaces)."""
+    st = F.schema_of_variant(variant_value)
+    content = variant_value.cast("string")
+    return (
+        F.when(st == "VOID", F.lit(sniff.NULL))
+        .when(st == "BOOLEAN", F.lit(sniff.BOOL))
+        .when(st.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), F.lit(sniff.INT))
+        .when(st.isin("DOUBLE", "FLOAT") | st.startswith("DECIMAL"),
+              F.lit(sniff.FLOAT))
+        .when(st.startswith("ARRAY"), F.lit(sniff.LIST))
+        .when(st.startswith("OBJECT") | st.startswith("STRUCT"),
+              F.lit(sniff.OBJECT))
+        .otherwise(sniff.sniff_code(content))
+    )
+
+
 def json_field_schema(df: DataFrame, json_col: str, key_cols: list[str] | None = None
                       ) -> DataFrame:
     """Dynamic per-key schema of a JSON-object string column.
 
     Output: (*key_cols, field, type_code, n_values).  The recursive-merge
-    analog for one nesting level; values are re-serialized scalars so the
-    sniff battery sees exactly what the reference's ``Types::get_type``
-    saw (JSON numbers/bools print canonically).
+    analog for one nesting level.  Values are exploded as VARIANT so JSON
+    runtime types survive (see :func:`json_runtime_code`); nested
+    containers fold in as LIST/OBJECT codes (a container mixed with any
+    scalar canonicalizes to Str — the full-tree merge quirks live in
+    :func:`json_tree_schema`).  Malformed JSON rows parse to null variants
+    and contribute no key/value pairs (quarantine path).
     """
     keys = key_cols or []
-    kv = df.select(
-        *keys,
-        F.explode(
-            F.from_json(F.col(json_col), "map<string,string>")
-        ).alias("field", "value"),
-    )
+    sel = "".join(f"src.{k}, " for k in keys)
+    # table-qualified: the source frame may itself carry `key`/`value` cols
+    kv = df.sparkSession.sql(
+        f"SELECT {sel}ve.key AS field, ve.value AS __variant FROM {{df}} src, "
+        f"LATERAL variant_explode(try_parse_json(src.{json_col})) ve",
+        df=df,
+    ).withColumnRenamed("__variant", "value")
+    bits = F.array(*[F.lit(b) for b in sniff.BIT])
+    mask = F.element_at(bits, json_runtime_code(F.col("value")) + 1)
     return (
         kv.groupBy(*keys, "field")
         .agg(
-            F.bit_or(sniff.sniff_mask(F.col("value"))).alias("mask"),
+            F.bit_or(mask).alias("mask"),
             F.count(F.lit(1)).alias("n_values"),
         )
         .select(*keys, "field", sniff.resolve_mask(F.col("mask")).alias("type_code"),

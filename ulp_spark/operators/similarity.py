@@ -139,6 +139,41 @@ def ivf_centroids(df: DataFrame, vec_col: str, id_col: str, k: int = 8
     return [[float(x) for x in r[1]] for r in rows]
 
 
+def ivf_centroids_trained(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8, rounds: int = 1,
+) -> list[list[float]]:
+    """IVF training: deterministic seeds + ``rounds`` Lloyd iterations.
+
+    Each iteration is one distributed pass — assign (expression fold) then
+    per-cell per-dimension means via ``posexplode`` + groupBy(cell, pos)
+    (fully JVM, map-side combined; the shuffle moves k x dim partial sums) —
+    and a k x dim driver collect (KiB).  Means are rounded to 6 dp so the
+    two engines' float-summation orders land on the same centroid literal.
+    Cells that lose all members keep their previous centroid.  Determinism:
+    fixed iteration count, no RNG.
+    """
+    cents = ivf_centroids(df, vec_col, id_col, k)
+    for _ in range(rounds):
+        assigned = df.select(
+            ivf_assign(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, {})[r.pos] = float(r.m)
+        cents = [
+            [by_cell[i][p] for p in sorted(by_cell[i])]
+            if i in by_cell else cents[i]
+            for i in range(k)
+        ]
+    return cents
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid cell id by cosine (strictly-greater fold: first
     centroid wins ties — same fold both engines)."""

@@ -73,17 +73,31 @@ def resume_fanout(
     Deterministic sorted route order (reference BTreeMap iteration,
     ``src/workerpool.rs:104``); each route commits independently, so a
     crash between routes resumes exactly where it stopped.
+
+    Row counts for ALL pending routes come from ONE aggregate action up
+    front (map-side-combined ``groupBy(route).count()``), not a
+    ``part.count()`` per route — the per-route recount doubled the scan
+    count (2R actions for R routes) at any scale.  The write itself is the
+    only per-route action left; with many routes prefer the single-pass
+    ``fanout.write_partitioned`` and use this loop for small R / resume.
     """
     run_dir = os.path.join(base, manifest["run_id"])
-    for route in sorted(manifest["routes"]):
+    pending = [r for r in sorted(manifest["routes"])
+               if not manifest["routes"][r]["committed"]]
+    if not pending:
+        return manifest
+    counts = {
+        r["route"]: r["n_rows"]
+        for r in routed.filter(F.col(route_col).isin(pending))
+        .groupBy(route_col).agg(F.count(F.lit(1)).alias("n_rows")).collect()
+    }
+    for route in pending:
         entry = manifest["routes"][route]
-        if entry["committed"]:
-            continue
         path = os.path.join(run_dir, "sinks", route)
         part = routed.filter(F.col(route_col) == route)
         part.write.mode("overwrite").parquet(path)
         entry["path"] = path
-        entry["n_rows"] = part.count()
+        entry["n_rows"] = int(counts.get(route, 0))
         entry["committed"] = True
         save(base, manifest["run_id"], manifest)  # commit point per route
     return manifest
