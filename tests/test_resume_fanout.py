@@ -197,3 +197,34 @@ def test_stateful_stream_dedup(spark, tmp_path):
     run_batch([("d1", "r9"), ("d3", "r1")])  # d1 replayed across batches
     rows = spark.read.parquet(sink).collect()
     assert sorted(r.doc_id for r in rows) == ["d1", "d2", "d3"]  # no dup emission
+
+
+def test_stateful_stream_dedup_bloom(spark, tmp_path):
+    """Bloom-state variant: same cross-batch suppression, but the state is
+    a FIXED-SIZE bitset — replayed ids stay suppressed after a restart and
+    the checkpointed state never grows with stream length."""
+    from ulp_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    m_bits = 1 << 14  # small filter: still ~0 fp at 5 ids
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "doc_id string, route string") \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id string, route string").parquet(src)
+        q = (
+            stateful.dedup_stream_bloom(stream, m_bits=m_bits)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("d1", "r1"), ("d2", "r1"), ("d1", "r2")])
+    assert {r.doc_id for r in spark.read.parquet(sink).collect()} == {"d1", "d2"}
+
+    run_batch([("d1", "r9"), ("d3", "r1")])  # d1 replayed across batches
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r.doc_id for r in rows) == ["d1", "d2", "d3"]
