@@ -388,6 +388,15 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, k=10, n_probe=2)
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity); all outputs are
+    time-difference based, so TZ-independent under any driver session."""
+    from ulp_spark.operators import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.sessionize(ev)
+
+
 def _q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming aggregate, batch side)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -433,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rollup_counts": _q_doc_rollup,
         "events_json_path": _q_events_json_path,
         "emb_bucket_pairs": _q_emb_bucket_pairs,
+        "events_sessions": _q_events_sessions,
         "events_tumbling_counts": _q_events_tumbling_counts,
         "events_nested_schema": _q_events_nested_schema,
         "emb_ivf_cells": _q_emb_ivf_cells,
@@ -461,6 +471,12 @@ def _parsed_cte() -> str:
            {px['src']} AS src, {px['n']} AS n
     FROM lines
     """
+
+
+def _sessions_sql() -> str:
+    from ulp_spark.operators import sessions
+
+    return sessions.sessionize_sql("events")
 
 
 def _nested_schema_oracle() -> str:
@@ -743,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.1
         """,
+        "events_sessions": _sessions_sql(),
         "events_tumbling_counts": """
             SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
                    event_type,
