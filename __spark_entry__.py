@@ -388,6 +388,34 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, k=10, n_probe=2)
 
 
+def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split (hash-bucket membership, never
+    rand()/TABLESAMPLE — identical on any engine, cluster size, or run)."""
+    from ulp_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(sampling.split_label(F.col("doc_id")).alias("split"), "source",
+                 "n_chars")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of document length per source
+    (Spark `percentile` == DuckDB `quantile_cont`; at 100 TB swap for
+    percentile_approx/t-digest and drop the oracle to rows-only)."""
+    d = _docs(spark, sf_dir)
+    pct = F.percentile(F.col("n_chars"), F.lit([0.5, 0.9, 0.99]))
+    return (
+        d.groupBy("source")
+        .agg(*[F.round(F.element_at(pct, i + 1), 6).alias(n)
+               for i, n in enumerate(["p50", "p90", "p99"])])
+    )
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity); all outputs are
     time-difference based, so TZ-independent under any driver session."""
@@ -442,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rollup_counts": _q_doc_rollup,
         "events_json_path": _q_events_json_path,
         "emb_bucket_pairs": _q_emb_bucket_pairs,
+        "doc_split_counts": _q_doc_split_counts,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
         "events_tumbling_counts": _q_events_tumbling_counts,
         "events_nested_schema": _q_events_nested_schema,
@@ -470,6 +500,17 @@ def _parsed_cte() -> str:
            {px['provider']} AS provider, {px['doc']} AS doc,
            {px['src']} AS src, {px['n']} AS n
     FROM lines
+    """
+
+
+def _split_counts_sql() -> str:
+    from ulp_spark.operators import sampling
+
+    return f"""
+        SELECT {sampling.split_label_sql('doc_id')} AS split, source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY split, source
     """
 
 
@@ -758,6 +799,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.1
+        """,
+        "doc_split_counts": _split_counts_sql(),
+        "doc_length_quantiles": """
+            SELECT source,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents GROUP BY source
         """,
         "events_sessions": _sessions_sql(),
         "events_tumbling_counts": """

@@ -196,3 +196,37 @@ def test_simhash_candidates_pigeonhole(spark):
                  for r in dedup.simhash_candidates(
                      df, "text", "doc_id", max_hamming=3).collect())
     assert got == [(0, 1, 0), (0, 2, 0), (1, 2, 0)]
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    """Split membership is a pure function of the id: same label at any
+    partitioning, labels cover 100%, and the Spark/DuckDB twins agree."""
+    from ulp_spark.operators import sampling
+
+    df = spark.range(0, 2000, 1, 7).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.s for r in df.select(
+        "doc_id", sampling.split_label(F.col("doc_id")).alias("s")).collect()}
+    b = {r.doc_id: r.s for r in df.repartition(3).select(
+        "doc_id", sampling.split_label(F.col("doc_id")).alias("s")).collect()}
+    assert a == b and set(a.values()) == {"train", "val", "test"}
+    con = duckdb.connect()
+    got = {r[0]: r[1] for r in con.sql(
+        f"SELECT i, {sampling.split_label_sql('i')} FROM range(0, 2000) t(i)"
+    ).fetchall()}
+    assert got == a
+    # ~90/5/5 split within tolerance
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] - 1800) < 100 and abs(c["val"] - 100) < 60
+
+
+def test_deterministic_sample_is_scan_predicate(spark):
+    from ulp_spark.operators import sampling
+
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    s = sampling.deterministic_sample(df, "doc_id", rate_pct=10)
+    n = s.count()
+    assert 350 < n < 650                      # ~10% of 5000
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan             # pure filter, no shuffle
+    assert s.count() == n                     # idempotent

@@ -1,0 +1,67 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+A training corpus needs REPRODUCIBLE subsetting: the same document must
+land in the same split on every run, every engine, every cluster size —
+so membership derives from a content-stable hash of the id, never from
+``rand()``/``TABLESAMPLE`` (both partition-layout-dependent in Spark).
+
+``hash_bucket`` maps an id to [0, buckets) via the first 8 md5 hex chars —
+the same fold the dedup shingles use, identical in DuckDB — and
+``split_label`` turns cumulative percentage weights into named splits.
+Filtering by bucket is a pure codegen'd predicate: at 100 TB a 1%% sample
+is a scan-time filter (no shuffle, combine-friendly), and the split
+column is broadcast-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_SPLITS: list[tuple[str, int]] = [("train", 90), ("val", 5), ("test", 5)]
+
+
+def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the id's string."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % buckets).cast("int")
+
+
+def hash_bucket_sql(id_expr: str, buckets: int = 100) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {buckets} AS INTEGER)"
+    )
+
+
+def split_label(
+    id_col: Column, splits: list[tuple[str, int]] | None = None,
+) -> Column:
+    """Named split from cumulative percentage weights (must sum to 100)."""
+    splits = splits or DEFAULT_SPLITS
+    assert sum(w for _, w in splits) == 100, "split weights must sum to 100"
+    b = hash_bucket(id_col, 100)
+    out = None
+    hi = 0
+    for name, w in splits:
+        hi += w
+        out = F.when(b < hi, F.lit(name)) if out is None else out.when(
+            b < hi, F.lit(name))
+    return out
+
+
+def split_label_sql(
+    id_expr: str, splits: list[tuple[str, int]] | None = None,
+) -> str:
+    splits = splits or DEFAULT_SPLITS
+    b = hash_bucket_sql(id_expr, 100)
+    hi, cases = 0, []
+    for name, w in splits:
+        hi += w
+        cases.append(f"WHEN ({b}) < {hi} THEN '{name}'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def deterministic_sample(df, id_col: str, rate_pct: int, buckets: int = 100):
+    """Reproducible ``rate_pct``%% sample: bucket < rate — a scan predicate."""
+    return df.filter(hash_bucket(F.col(id_col), buckets) < rate_pct)
