@@ -136,3 +136,47 @@ def test_merge_is_commutative_and_associative():
                 ab_c = sniff.merge_codes_py(sniff.merge_codes_py(a, b), c)
                 a_bc = sniff.merge_codes_py(a, sniff.merge_codes_py(b, c))
                 assert ab_c == a_bc
+
+
+def test_sniff_three_engine_fuzz(spark):
+    """Deterministic fuzz over the sniff alphabet: the Spark expression
+    (Java regex), the DuckDB twin (RE2), and the pure-Python oracle
+    (re module) must classify every string identically — the three regex
+    engines are the riskiest drift surface in the whole battery."""
+    import duckdb
+
+    from ulp_spark import oracle
+
+    alphabet = "0123456789abcdefABCDEF.:+-eExXzZ TtruefalsNI/n"
+    strings = []
+    state = 123456789
+    for i in range(1500):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        n = 1 + (state % 24)
+        s, st = [], state
+        for _ in range(n):
+            st = (st * 2862933555777941757 + 3037000493) % (1 << 64)
+            s.append(alphabet[st % len(alphabet)])
+        strings.append("".join(s))
+    # targeted near-boundary forms on top of the fuzz
+    strings += ["0x" + "f" * 15, "0x0" + "7" * 15, "1e308", "1e309",
+                "9223372036854775807", "9223372036854775808",
+                "::ffff:255.255.255.255", "1:2:3:4:5:6:7:8:9",
+                "2024-02-29T23:59:59+14:00", "2024-02-29T23:59:59+24:00",
+                "+.5e-3", "-.", ".", "..", "0x", " null", "0.0.0.0", "."]
+
+    py = [oracle.sniff_py(s) for s in strings]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i int, s string")
+    sp = [r.c for r in df.select("i", sniff.sniff_code(F.col("s")).alias("c"))
+          .orderBy("i").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, s) for i, s in enumerate(strings)])
+    dk = [r[0] for r in con.sql(
+        f"SELECT {sniff.sniff_code_sql('s')} FROM t ORDER BY i").fetchall()]
+
+    for i, s in enumerate(strings):
+        assert py[i] == sp[i] == dk[i], (
+            f"engine drift on {s!r}: py={py[i]} spark={sp[i]} duck={dk[i]}")
