@@ -388,6 +388,16 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, k=10, n_probe=2)
 
 
+def _q_seq_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the input_hint table: exact global token
+    offsets via the distributed two-phase prefix sum (never a
+    single-reducer Window.orderBy) + 512-token chunk assignment."""
+    from ulp_spark.operators import packing
+
+    seq = fixtures.sequences(spark, N_FIXTURE).select("doc_id", "n_tok")
+    return packing.packing_offsets(seq)
+
+
 def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test split (hash-bucket membership, never
     rand()/TABLESAMPLE — identical on any engine, cluster size, or run)."""
@@ -470,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rollup_counts": _q_doc_rollup,
         "events_json_path": _q_events_json_path,
         "emb_bucket_pairs": _q_emb_bucket_pairs,
+        "seq_packing_offsets": _q_seq_packing_offsets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
@@ -501,6 +512,20 @@ def _parsed_cte() -> str:
            {px['src']} AS src, {px['n']} AS n
     FROM lines
     """
+
+
+def _packing_sql() -> str:
+    from ulp_spark.operators import packing
+
+    # doc_id/n_tok regenerated WITHOUT the tokens list (this DuckDB build's
+    # parser rejects list comprehensions nested inside CTE subqueries) —
+    # same integer arithmetic as fixtures.sequences_sql, so identical rows.
+    seqtab = (
+        f"(SELECT printf('doc-%08d', i) AS doc_id, "
+        f"CAST((i*7919) % {fixtures.MAX_TOKENS} + 1 AS INTEGER) AS n_tok "
+        f"FROM range(0, {N_FIXTURE}) t(i))"
+    )
+    return packing.packing_offsets_sql(seqtab)
 
 
 def _split_counts_sql() -> str:
@@ -800,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.1
         """,
+        "seq_packing_offsets": _packing_sql(),
         "doc_split_counts": _split_counts_sql(),
         "doc_length_quantiles": """
             SELECT source,

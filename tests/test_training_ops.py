@@ -230,3 +230,35 @@ def test_deterministic_sample_is_scan_predicate(spark):
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan             # pure filter, no shuffle
     assert s.count() == n                     # idempotent
+
+
+def test_global_cumsum_partition_invariant(spark):
+    """The two-phase prefix sum must equal the single-node cumsum at any
+    partition count, and the plan must never collapse to one task (no
+    partition-less Window over the whole frame)."""
+    from ulp_spark.operators import packing
+
+    df = spark.range(0, 3000).select(
+        F.format_string("d-%05d", F.col("id")).alias("k"),
+        ((F.col("id") * 7) % 100 + 1).alias("v"))
+    exp, acc = {}, 0
+    for i in range(3000):
+        exp[f"d-{i:05d}"] = acc
+        acc += (i * 7) % 100 + 1
+    for parts in (1, 3, 16):
+        got = {r.k: r.tok_offset for r in packing.global_cumsum(
+            df, "k", "v", partitions=parts).collect()}
+        assert got == exp, f"partitions={parts}"
+
+
+def test_packing_offsets_chunks(spark):
+    from ulp_spark.operators import packing
+
+    rows = [("a", 100), ("b", 412), ("c", 600), ("d", 1)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = {r.doc_id: (r.tok_offset, r.first_chunk, r.n_chunks)
+           for r in packing.packing_offsets(df, chunk=512).collect()}
+    # a: [0,100) chunk 0; b: [100,512) chunk 0; c: [512,1112) chunks 1-2;
+    # d: [1112,1113) chunk 2
+    assert got == {"a": (0, 0, 1), "b": (100, 0, 1),
+                   "c": (512, 1, 2), "d": (1112, 2, 1)}
