@@ -435,6 +435,15 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.sessionize(ev)
 
 
+def _q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (the streaming-capable stateful
+    session aggregation), batch side; inclusive-end tie rule in the twin."""
+    from ulp_spark.operators import sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.session_window_stats(ev)
+
+
 def _q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (the streaming aggregate, batch side)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -484,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
+        "events_session_windows": _q_events_session_windows,
         "events_tumbling_counts": _q_events_tumbling_counts,
         "events_nested_schema": _q_events_nested_schema,
         "emb_ivf_cells": _q_emb_ivf_cells,
@@ -543,6 +553,12 @@ def _sessions_sql() -> str:
     from ulp_spark.operators import sessions
 
     return sessions.sessionize_sql("events")
+
+
+def _session_windows_sql() -> str:
+    from ulp_spark.operators import sessions
+
+    return sessions.session_window_stats_sql("events")
 
 
 def _nested_schema_oracle() -> str:
@@ -835,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "events_sessions": _sessions_sql(),
+        "events_session_windows": _session_windows_sql(),
         "events_tumbling_counts": """
             SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
                    event_type,

@@ -262,3 +262,25 @@ def test_packing_offsets_chunks(spark):
     # d: [1112,1113) chunk 2
     assert got == {"a": (0, 0, 1), "b": (100, 0, 1),
                    "c": (512, 1, 2), "d": (1112, 2, 1)}
+
+
+def test_session_boundary_tie_rules(spark):
+    """An event landing EXACTLY at prev_ts + gap MERGES under BOTH the
+    native session_window (inclusive session end, verified empirically)
+    and the manual composition (strict diff > gap) — pinned so an
+    upstream Spark semantic change would be caught."""
+    from ulp_spark.operators import sessions
+
+    rows = [(1, 100, "2024-01-01 00:00:00"),
+            (1, 101, "2024-01-01 00:30:00"),     # exactly at the 30-min gap
+            (1, 102, "2024-01-01 01:30:01"),     # past the gap from 101
+            (2, 200, "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, t string") \
+        .select("user_id", "event_id",
+                F.col("t").cast("timestamp_ntz").alias("ts"))
+    manual = sessions.sessionize(df)
+    assert sorted((r.user_id, r.n_events) for r in manual.collect()) \
+        == [(1, 1), (1, 2), (2, 1)]              # 100+101 merge (> rule)
+    native = sessions.session_window_stats(df)
+    assert sorted((r.user_id, r.n_events) for r in native.collect()) \
+        == [(1, 1), (1, 2), (2, 1)]              # 101 merges here too

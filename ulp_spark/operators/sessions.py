@@ -62,6 +62,62 @@ def sessionize(
     )
 
 
+def session_window_stats(
+    df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+    seq_col: str = "event_id", gap: str = "30 minutes",
+) -> DataFrame:
+    """Same stats via Spark's NATIVE ``session_window`` — the streaming-
+    capable form (swap ``df`` for a stream + watermark and this groupBy is
+    a stateful session aggregation with no other change).
+
+    Boundary semantics match :func:`sessionize` exactly, INCLUDING the tie
+    rule: an event landing exactly at prev_ts + gap still merges (verified
+    empirically — Spark's session end is inclusive; a new session needs
+    diff > gap).  The unit test pins the exactly-at-gap case on both ops,
+    so an upstream semantic change would be caught.
+    """
+    us = _epoch_us(df, ts_col)
+    return (
+        df.groupBy(user_col, F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(seq_col).alias("first_event_id"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+        .drop("w")
+    )
+
+
+def session_window_stats_sql(
+    table: str, user_col: str = "user_id", ts_col: str = "ts",
+    seq_col: str = "event_id", gap_us: int = GAP_US,
+) -> str:
+    """DuckDB twin of :func:`session_window_stats` (strict > tie rule,
+    matching Spark's inclusive session end)."""
+    return f"""
+    WITH flagged AS (
+      SELECT {user_col}, {seq_col}, {ts_col},
+        CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                  OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w > {gap_us}
+             THEN 1 ELSE 0 END AS is_new
+      FROM {table}
+      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {seq_col})
+    ),
+    sess AS (
+      SELECT {user_col}, {seq_col}, {ts_col},
+             sum(is_new) OVER (PARTITION BY {user_col}
+                               ORDER BY {ts_col}, {seq_col}) AS session_no
+      FROM flagged
+    )
+    SELECT {user_col},
+           count(*)::BIGINT AS n_events,
+           min({seq_col}) AS first_event_id,
+           CAST(max(epoch_us({ts_col})) - min(epoch_us({ts_col})) AS BIGINT)
+             AS duration_us
+    FROM sess GROUP BY {user_col}, session_no
+    """
+
+
 def sessionize_sql(
     table: str, user_col: str = "user_id", ts_col: str = "ts",
     seq_col: str = "event_id", gap_us: int = GAP_US,
