@@ -74,6 +74,8 @@ CASES = [
     ("2022-03-23T10:00:00+01:00", STR, DATE, "2022-03-23T09:00:00+00:00", False),
     ("2022-03-23T10:00:00Z", STR, DATE, "2022-03-23T10:00:00+00:00", False),
     ("2022-03-23 10:00:00", STR, DATE, None, True),
+    ("2022-03-23t10:00:00z", STR, DATE, "2022-03-23T10:00:00+00:00", False),
+    ("2024-02-31T10:00:00Z", STR, DATE, None, True),   # calendar-exact gate
 ]
 
 

@@ -60,8 +60,16 @@ CASES = [
     ("2022-03-23 10:00:00", sniff.STR),     # RFC3339 only
     ("2024-13-40T25:61:61Z", sniff.STR),    # field ranges enforced (chrono)
     ("2024-01-10T10:00:00+99:99", sniff.STR),  # offset range enforced
-    ("2024-02-31T10:00:00Z", sniff.DATE),   # PINNED deviation: regex can't
-                                            # count month lengths (chrono: Str)
+    ("2024-02-31T10:00:00Z", sniff.STR),    # calendar-exact: Feb has no 31st
+    ("2024-04-31T10:00:00Z", sniff.STR),    # 30-day month
+    ("2024-04-30T10:00:00Z", sniff.DATE),
+    ("2024-02-29T10:00:00Z", sniff.DATE),   # leap year
+    ("2023-02-29T10:00:00Z", sniff.STR),    # not a leap year
+    ("2000-02-29T10:00:00Z", sniff.DATE),   # century %400 == 0
+    ("1900-02-29T10:00:00Z", sniff.STR),    # century %400 != 0
+    ("2022-03-23t10:00:00z", sniff.DATE),   # RFC3339 case-insensitive T/Z
+    ("2016-12-31T23:59:60Z", sniff.STR),    # leap second: PINNED deviation
+                                            # (chrono folds it; we reject)
     ("not_an_int", sniff.STR),
     ("2,147,483,647", sniff.STR),
     (None, sniff.NULL),

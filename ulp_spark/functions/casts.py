@@ -104,7 +104,12 @@ def _date_canonical(col: Column) -> Column:
     Implemented entirely on TIMESTAMP_NTZ + explicit offset arithmetic so
     the result is independent of ``spark.sql.session.timeZone`` (a
     date_format over an instant renders in session TZ — that was a latent
-    wrong-answer under non-UTC driver sessions)."""
+    wrong-answer under non-UTC driver sessions).
+
+    Lowercase 't'/'z' separators (RFC3339-legal, chrono-accepted, matched
+    by RE_DATE) are normalized first: in a RE_DATE-shaped string those
+    letters can only be the separators, so translate() is safe."""
+    col = F.translate(col, "tz", "TZ")
     stripped = F.regexp_replace(col, r"\.[0-9]+", "")
     core = F.regexp_replace(stripped, r"(Z|[+-][0-9]{2}:[0-9]{2})$", "")
     base = core.try_cast("timestamp_ntz")

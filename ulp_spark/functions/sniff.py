@@ -29,9 +29,9 @@ Documented deviations (pinned in tests/test_sniff.py):
   ``::`` compression at any position, compressed AND uncompressed
   IPv4-embedded tails); scoped addresses (``fe80::1%eth0``) are Str here,
   Str in Rust too (std rejects scope ids), so no drift;
-* RFC3339 ranges are regex-enforced (month/day/hour/min/sec/offset bounds)
-  but calendar-impossible dates within ranges (Feb 31) and leap seconds
-  still sniff Date — chrono would reject/accept respectively (pinned).
+* RFC3339 dates are CALENDAR-exact (month lengths, leap years incl. the
+  400-century rule, field ranges, case-insensitive T/Z) — the one pinned
+  gap vs chrono is the leap second :60, rejected here (see RE_DATE).
 """
 
 from __future__ import annotations
@@ -78,17 +78,31 @@ def _ipv6_alts() -> list[str]:
 
 
 RE_IPV6 = "^(" + "|".join(_ipv6_alts()) + ")$"
-# RFC3339 with calendar/clock field ranges enforced (month 01-12, day 01-31,
-# hour 00-23, min/sec 00-59, offset hour 00-23): chrono's parse_from_rfc3339
-# rejects '2024-13-40T25:61:61Z' and '+99:99' offsets, which a shape-only
-# regex let through (they sniffed Date instead of Str).  Pinned residual
-# deviation (tests/test_sniff.py): impossible calendar dates WITHIN ranges
-# (e.g. Feb 31) and leap seconds still differ from a full calendar parse —
-# a regex can't count month lengths; documented, not silent.
+# RFC3339, CALENDAR-EXACT: month lengths per month, Feb 29 only in leap
+# years (divisible by 4; century years only when divisible by 400 — the
+# year alternation encodes both rules), clock fields range-checked,
+# case-insensitive T/Z (RFC3339 is; chrono accepts 't'/'z').  This matches
+# chrono::parse_from_rfc3339's accept set exactly on the date part —
+# '2024-02-31' and '2023-02-29' sniff Str, '2024-02-29' and '2000-02-29'
+# sniff Date (golden cases).  Sole remaining pinned deviation: the leap
+# second :60 (chrono folds it into 59.999...; both our sniff and the cast
+# reject it — 22 leap seconds have ever existed, none since 2016).
+_LEAP_YEAR = (
+    "([0-9]{2}(0[48]|[2468][048]|[13579][26])"   # any century, year%4==0 (not 00)
+    "|(0[48]|[2468][048]|[13579][26])00)"        # century years %400==0
+)
+_CAL_DATE = (
+    "("
+    "[0-9]{4}-(0[13578]|1[02])-(0[1-9]|[12][0-9]|3[01])"   # 31-day months
+    "|[0-9]{4}-(0[469]|11)-(0[1-9]|[12][0-9]|30)"          # 30-day months
+    "|[0-9]{4}-02-(0[1-9]|1[0-9]|2[0-8])"                  # Feb 1-28
+    f"|{_LEAP_YEAR}-02-29"                                 # leap Feb 29
+    ")"
+)
 RE_DATE = (
-    r"^[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
-    r"T([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
-    r"(\.[0-9]+)?(Z|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
+    f"^{_CAL_DATE}"
+    r"[Tt]([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9]"
+    r"(\.[0-9]+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
 )
 
 
