@@ -228,3 +228,62 @@ def test_stateful_stream_dedup_bloom(spark, tmp_path):
     run_batch([("d1", "r9"), ("d3", "r1")])  # d1 replayed across batches
     rows = spark.read.parquet(sink).collect()
     assert sorted(r.doc_id for r in rows) == ["d1", "d2", "d3"]
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """The docstring claim of sessions.session_window_stats, proven: the
+    SAME groupBy runs as a stateful streaming session aggregation (stream +
+    watermark, append mode) and emits the batch-identical session set once
+    the watermark passes them (append mode flushes only CLOSED sessions —
+    a later batch advances the watermark, exactly as a live feed would)."""
+    from pyspark.sql import functions as F2
+
+    from ulp_spark.operators import sessions
+
+    rows = []
+    for u in range(5):
+        for k in range(6):
+            # two bursts per user separated by > 30 min
+            base = k * 300 if k < 3 else 3600 + k * 300
+            rows.append((u, u * 100 + k, base))
+    src = str(tmp_path / "src")
+
+    def write(batch_rows):
+        spark.createDataFrame(batch_rows, "user_id long, event_id long, off long") \
+            .select("user_id", "event_id",
+                    (F2.lit("2024-01-01 00:00:00").cast("timestamp")
+                     + F2.make_interval(secs=F2.col("off"))).alias("ts")) \
+            .write.mode("append").parquet(src)
+
+    write(rows)
+    batch = sessions.session_window_stats(spark.read.parquet(src))
+    exp = sorted(tuple(r) for r in batch.collect())
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id",
+                     F2.session_window(F2.col("ts"), "30 minutes").alias("w"))
+            .agg(F2.count(F2.lit(1)).alias("n_events"),
+                 F2.min("event_id").alias("first_event_id"),
+                 (F2.max(F2.unix_micros("ts")) - F2.min(F2.unix_micros("ts")))
+                 .alias("duration_us"))
+            .drop("w")
+        )
+        q = (agg.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_stream()
+    # sentinel event far in the future advances the watermark past every
+    # real session's close; its own (still-open) session is excluded below
+    write([(99, 9900, 3 * 3600)])
+    run_stream()
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect()
+                 if r.user_id != 99)
+    assert got == exp
