@@ -96,4 +96,3 @@ def test_parse_lines_pandas_equivalence(spark):
         "doc_id", "parser", "parse_error", "ts", "level", "provider", "doc",
         "src", "n").orderBy("doc_id").collect()
     assert a == b
-

@@ -143,7 +143,12 @@ def test_json_field_schema_runtime_types(spark):
         ('{"a": 0, "b": "0", "c": 1.5, "d": true, "e": null, '
          '"f": [1, 2], "g": {"x": 1}, "h": "42"}',),
         ('{"a": 1, "b": "null", "c": 2.5, "h": "hello"}',),
+        # serde Number boundaries: Int iff value fits i64 OR u64
+        ('{"u": 9223372036854775808, "o": 18446744073709551616, '
+         '"m": -9223372036854775809}',),
         ("not json at all",),
+        ('[1, 2, 3]',),           # top-level array: contributes no fields
+        ("42",),                  # top-level scalar: ditto
     ]
     df = spark.createDataFrame(rows, "props string")
     got = {
@@ -159,6 +164,9 @@ def test_json_field_schema_runtime_types(spark):
         "f": (sniff.LIST, 1),
         "g": (sniff.OBJECT, 1),
         "h": (sniff.STR, 2),      # "42" Int ⊔ "hello" Str -> Str
+        "u": (sniff.INT, 1),      # u64 range -> Int (serde is_u64)
+        "o": (sniff.FLOAT, 1),    # beyond u64 -> f64
+        "m": (sniff.FLOAT, 1),    # below i64::MIN -> f64
     }
     con = duckdb.connect()
     con.execute("CREATE TABLE t (props VARCHAR)")

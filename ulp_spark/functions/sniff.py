@@ -89,7 +89,8 @@ RE_IPV6 = "^(" + "|".join(_ipv6_alts()) + ")$"
 # reject it — 22 leap seconds have ever existed, none since 2016).
 _LEAP_YEAR = (
     "([0-9]{2}(0[48]|[2468][048]|[13579][26])"   # any century, year%4==0 (not 00)
-    "|(0[48]|[2468][048]|[13579][26])00)"        # century years %400==0
+    "|(0[48]|[2468][048]|[13579][26])00"         # century years %400==0
+    "|0000)"                                     # proleptic year 0 (0%400==0)
 )
 _CAL_DATE = (
     "("

@@ -55,22 +55,40 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 # shingles + minhash
 # --------------------------------------------------------------------------
 
-def shingle_hashes(text: Column, size: int = SHINGLE) -> Column:
-    """Distinct 32-bit hashes of character ``size``-grams (sorted array).
-
-    Empty/short texts yield an empty array.  All JVM-side: sequence +
-    transform + md5; identical results in the DuckDB twin.
-    """
+def _grams(text: Column, size: int = SHINGLE) -> Column:
+    """Distinct character ``size``-grams (the shingle SET, pre-hash)."""
     end = F.greatest(F.length(text) - (size - 1), F.lit(0))
-    # Guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short/
-    # null text must yield an empty set (matches DuckDB range(1, 1) = []).
     grams = F.when(
         end >= 1,
         F.transform(F.sequence(F.lit(1), end), lambda i: F.substring(text, i, size)),
     ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    return F.array_distinct(grams)
+
+
+def _grams_sql(text: str, size: int = SHINGLE) -> str:
+    return (
+        f"list_distinct([substr({text}, i, {size}) "
+        f"FOR i IN range(1, greatest(len({text}) - {size - 1}, 0) + 1)])"
     )
+
+
+
+def _md5_bigint(col: Column, start: int = 1) -> Column:
+    """32 bits of md5 as a bigint (hex chars [start, start+8)) — THE hash
+    fold shared by shingles, simhash64 halves, and (as a SQL twin pattern)
+    sampling.hash_bucket; change it here and in every *_sql twin together."""
+    return F.conv(F.substring(F.md5(col), start, 8), 16, 10).cast("bigint")
+
+
+def shingle_hashes(text: Column, size: int = SHINGLE) -> Column:
+    """Distinct 32-bit hashes of character ``size``-grams (sorted array).
+
+    Empty/short texts yield an empty array.  All JVM-side: sequence +
+    transform + md5; identical results in the DuckDB twin.  (Distinct runs
+    on the gram set AND on the hash values — a 32-bit collision between
+    two distinct grams dedups either way, so the value set is identical.)
+    """
+    hashes = F.transform(_grams(text, size), lambda g: _md5_bigint(g))
     return F.array_sort(F.array_distinct(hashes))
 
 
@@ -250,23 +268,6 @@ def hamming(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
 # shares at least one exact band by pigeonhole)
 # --------------------------------------------------------------------------
 
-def _grams(text: Column, size: int = SHINGLE) -> Column:
-    """Distinct character ``size``-grams (the shingle SET, pre-hash)."""
-    end = F.greatest(F.length(text) - (size - 1), F.lit(0))
-    grams = F.when(
-        end >= 1,
-        F.transform(F.sequence(F.lit(1), end), lambda i: F.substring(text, i, size)),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
-
-
-def _grams_sql(text: str, size: int = SHINGLE) -> str:
-    return (
-        f"list_distinct([substr({text}, i, {size}) "
-        f"FOR i IN range(1, greatest(len({text}) - {size - 1}, 0) + 1)])"
-    )
-
-
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit simhash as two 32-bit halves (lo = md5 hex 1-8, hi = 9-16).
 
@@ -279,10 +280,8 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     g = df.select(F.col(id_col).alias("id"), _grams(F.col(text_col)).alias("g"))
     h = g.select(
         "id",
-        F.transform("g", lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
-                    .cast("bigint")).alias("lo_h"),
-        F.transform("g", lambda x: F.conv(F.substring(F.md5(x), 9, 8), 16, 10)
-                    .cast("bigint")).alias("hi_h"),
+        F.transform("g", lambda x: _md5_bigint(x, 1)).alias("lo_h"),
+        F.transform("g", lambda x: _md5_bigint(x, 9)).alias("hi_h"),
     )
     return h.select(
         "id",

@@ -191,10 +191,22 @@ def json_runtime_code(variant_value) -> "F.Column":
     (the round-1 bias this replaces)."""
     st = F.schema_of_variant(variant_value)
     content = variant_value.cast("string")
+    # serde_json Number rule (the reference's runtime): Int iff the value
+    # fits i64 OR u64, else f64 -> Float.  Spark variant types u64-range
+    # integers as DECIMAL(p,0), so a scale-0 decimal is Int exactly when
+    # the VALUE lies in [i64::MIN, u64::MAX] — mirrors DuckDB's
+    # BIGINT/UBIGINT/DOUBLE split at the same boundaries (verified).
+    is_dec0 = st.rlike(r"^DECIMAL\([0-9]+,0\)$")
+    dv = F.try_variant_get(variant_value, "$", "decimal(38,0)")
+    in_serde_int_range = (
+        (dv >= F.lit("-9223372036854775808").cast("decimal(38,0)"))
+        & (dv <= F.lit("18446744073709551615").cast("decimal(38,0)"))
+    )
     return (
         F.when(st == "VOID", F.lit(sniff.NULL))
         .when(st == "BOOLEAN", F.lit(sniff.BOOL))
         .when(st.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), F.lit(sniff.INT))
+        .when(is_dec0 & in_serde_int_range, F.lit(sniff.INT))
         .when(st.isin("DOUBLE", "FLOAT") | st.startswith("DECIMAL"),
               F.lit(sniff.FLOAT))
         .when(st.startswith("ARRAY"), F.lit(sniff.LIST))
@@ -218,10 +230,15 @@ def json_field_schema(df: DataFrame, json_col: str, key_cols: list[str] | None =
     """
     keys = key_cols or []
     sel = "".join(f"src.{k}, " for k in keys)
-    # table-qualified: the source frame may itself carry `key`/`value` cols
+    # table-qualified: the source frame may itself carry `key`/`value` cols.
+    # `ve.key IS NOT NULL` drops top-level-ARRAY payloads (variant_explode
+    # emits their elements with a null key; json_keys on the DuckDB side
+    # enumerates nothing for them) — this is an OBJECT-column operator and
+    # non-object payloads contribute no fields, same as malformed rows.
     kv = df.sparkSession.sql(
         f"SELECT {sel}ve.key AS field, ve.value AS __variant FROM {{df}} src, "
-        f"LATERAL variant_explode(try_parse_json(src.{json_col})) ve",
+        f"LATERAL variant_explode(try_parse_json(src.{json_col})) ve "
+        f"WHERE ve.key IS NOT NULL",
         df=df,
     ).withColumnRenamed("__variant", "value")
     bits = F.array(*[F.lit(b) for b in sniff.BIT])

@@ -51,10 +51,12 @@ def global_cumsum(
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = ranged.withColumn(
         "__local_end", F.sum(F.col(val_col).cast("bigint")).over(w))
+    # per-partition total via sum(val), NOT max(running sum): they agree
+    # only for non-negative values, and this is a general prefix sum
     totals = {
         r["__pid"]: r["total"]
         for r in local.groupBy("__pid")
-        .agg(F.max("__local_end").alias("total")).collect()
+        .agg(F.sum(F.col(val_col).cast("bigint")).alias("total")).collect()
     }
     base, prefix = 0, {}
     for pid in sorted(totals):

@@ -62,6 +62,29 @@ def sessionize(
     )
 
 
+def _session_cte_sql(
+    table: str, user_col: str, ts_col: str, seq_col: str, gap_us: int,
+) -> str:
+    """Shared flagged/sess CTE body (strict > tie rule) used by BOTH
+    session oracles — one place to edit the boundary semantics."""
+    return f"""
+    WITH flagged AS (
+      SELECT {user_col}, {seq_col}, {ts_col},
+        CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                  OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w > {gap_us}
+             THEN 1 ELSE 0 END AS is_new
+      FROM {table}
+      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {seq_col})
+    ),
+    sess AS (
+      SELECT {user_col}, {seq_col}, {ts_col},
+             sum(is_new) OVER (PARTITION BY {user_col}
+                               ORDER BY {ts_col}, {seq_col}) AS session_no
+      FROM flagged
+    )
+    """
+
+
 def session_window_stats(
     df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
     seq_col: str = "event_id", gap: str = "30 minutes",
@@ -92,23 +115,10 @@ def session_window_stats_sql(
     table: str, user_col: str = "user_id", ts_col: str = "ts",
     seq_col: str = "event_id", gap_us: int = GAP_US,
 ) -> str:
-    """DuckDB twin of :func:`session_window_stats` (strict > tie rule,
-    matching Spark's inclusive session end)."""
+    """DuckDB twin of :func:`session_window_stats` (same tie rule as
+    :func:`sessionize_sql`; shared CTE builder)."""
     return f"""
-    WITH flagged AS (
-      SELECT {user_col}, {seq_col}, {ts_col},
-        CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
-                  OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w > {gap_us}
-             THEN 1 ELSE 0 END AS is_new
-      FROM {table}
-      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {seq_col})
-    ),
-    sess AS (
-      SELECT {user_col}, {seq_col}, {ts_col},
-             sum(is_new) OVER (PARTITION BY {user_col}
-                               ORDER BY {ts_col}, {seq_col}) AS session_no
-      FROM flagged
-    )
+    {_session_cte_sql(table, user_col, ts_col, seq_col, gap_us)}
     SELECT {user_col},
            count(*)::BIGINT AS n_events,
            min({seq_col}) AS first_event_id,
@@ -124,20 +134,7 @@ def sessionize_sql(
 ) -> str:
     """DuckDB twin of :func:`sessionize` (epoch_us = unix_micros)."""
     return f"""
-    WITH flagged AS (
-      SELECT {user_col}, {seq_col}, {ts_col},
-        CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
-                  OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w > {gap_us}
-             THEN 1 ELSE 0 END AS is_new
-      FROM {table}
-      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {seq_col})
-    ),
-    sess AS (
-      SELECT {user_col}, {seq_col}, {ts_col},
-             sum(is_new) OVER (PARTITION BY {user_col}
-                               ORDER BY {ts_col}, {seq_col}) AS session_no
-      FROM flagged
-    )
+    {_session_cte_sql(table, user_col, ts_col, seq_col, gap_us)}
     SELECT {user_col}, CAST(session_no AS BIGINT) AS session_no,
            count(*)::BIGINT AS n_events,
            min({seq_col}) AS first_event_id,

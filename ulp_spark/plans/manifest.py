@@ -87,7 +87,7 @@ def resume_fanout(
     if not pending:
         return manifest
     counts = {
-        r["route"]: r["n_rows"]
+        r[route_col]: r["n_rows"]
         for r in routed.filter(F.col(route_col).isin(pending))
         .groupBy(route_col).agg(F.count(F.lit(1)).alias("n_rows")).collect()
     }
