@@ -646,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
             WITH routed AS ({_routed_cte()}),
                  seq AS ({fixtures.sequences_sql(N_FIXTURE)})
             SELECT s.source,
-                   CAST(floor((s.n_tok - 1) / {pipeline.HIST_BUCKET}) AS INTEGER) AS bucket,
+                   CAST(greatest(floor((s.n_tok - 1) / {pipeline.HIST_BUCKET}), 0) AS INTEGER) AS bucket,
                    count(*)::BIGINT AS n_rows,
                    sum(s.n_tok)::BIGINT AS sum_tok
             FROM routed r JOIN seq s USING (doc_id)

@@ -70,6 +70,11 @@ CASES = [
     ("0:0:0:0:0:0:0:1", STR, IPV6, "::1", False),
     ("2001:db8::1", STR, IPV6, "2001:db8::1", False),
     ("1.0.0.0", STR, IPV6, None, True),
+    # Rust std Display renders IPv4-MAPPED addresses in mixed notation
+    ("::ffff:1.2.3.4", STR, IPV6, "::ffff:1.2.3.4", False),
+    ("0:0:0:0:0:ffff:1.2.3.4", STR, IPV6, "::ffff:1.2.3.4", False),
+    ("::1.2.3.4", STR, IPV6, "::102:304", False),  # ipv4-COMPATIBLE: hex form
+
     # str -> date (lib.rs:377; FIXTURES T5)
     ("2022-03-23T10:00:00+01:00", STR, DATE, "2022-03-23T09:00:00+00:00", False),
     ("2022-03-23T10:00:00Z", STR, DATE, "2022-03-23T10:00:00+00:00", False),

@@ -52,6 +52,10 @@ def test_route_quirks(spark):
         ({}, "evtx_NONE"),                                  # missing -> NONE
         ({"provider": ("17", sniff.INT)}, "evtx_"),         # number -> silent
         ({"provider": ("2.5", sniff.FLOAT)}, "evtx_"),
+        # non-finite Float sniffs are runtime STRINGS (JSON can't hold inf):
+        # the reference's as_str() succeeds -> routes as the text
+        ({"provider": ("inf", sniff.FLOAT)}, "evtx_inf"),
+        ({"provider": ("1e999", sniff.FLOAT)}, "evtx_1e999"),
         ({"provider": ("true", sniff.BOOL)}, "evtx_"),
         ({"provider": ("0", sniff.NULL)}, "evtx_"),         # JSON null value
     ]

@@ -96,3 +96,34 @@ def test_parse_lines_pandas_equivalence(spark):
         "doc_id", "parser", "parse_error", "ts", "level", "provider", "doc",
         "src", "n").orderBy("doc_id").collect()
     assert a == b
+
+
+def test_cast_single_pass_missing_field_error_is_false_not_null(spark):
+    """Three-valued-logic regression: a route whose schema omits a field
+    must yield cast_error = false for its rows, never NULL (a NULL error
+    flag escapes BOTH filter(err) and filter(~err))."""
+    from ulp_spark.functions import sniff as sn
+    from ulp_spark.operators import route_cast
+
+    df = spark.createDataFrame(
+        [("A", "abc"), ("B", "abc")], "route string, f string")
+    df = df.select("*", F.lit(sn.STR).alias("f__r"))
+    schemas = {"A": {"f": sn.INT}, "B": {}}  # B has no target for f
+    out = route_cast.cast_single_pass(df, schemas, ["f"])
+    rows = {r.route: r.cast_error for r in out.collect()}
+    assert rows == {"A": True, "B": False}  # B: no cast -> no error
+    assert out.filter(F.col("cast_error")).count() \
+        + out.filter(~F.col("cast_error")).count() == 2
+
+
+def test_ivf_trained_fewer_rows_than_k(spark):
+    from ulp_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 0.5, -0.25]) for i in range(5)],
+        "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids_trained(df, "embedding", "vec_id", k=8)
+    assert 0 < len(cents) <= 8
+    cells = [r.c for r in df.select(
+        similarity.ivf_assign(F.col("embedding"), cents).alias("c")).collect()]
+    assert all(0 <= c < len(cents) for c in cells)

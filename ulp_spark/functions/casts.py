@@ -71,16 +71,24 @@ def _float_value(col: Column) -> Column:
     return F.when(~F.isnan(raw) & (F.abs(raw) != float("inf")), raw)
 
 
-_ipv6_udf = None
+_ipv6_udf_cache: tuple = (None, None)  # (session, udf)
 
 
 def ipv6_canonical(col: Column) -> Column:
-    """IPv6 canonical form via ``ipaddress`` (matches Rust std Display,
-    RFC5952: longest zero-run compressed, lowercase).  Arrow-batched pandas
-    UDF — the one cast rule with no JVM-side equivalent.  Lazily registered:
-    pandas_udf needs an active session."""
-    global _ipv6_udf
-    if _ipv6_udf is None:
+    """IPv6 canonical form (matches Rust std Display, RFC5952: longest
+    zero-run compressed, lowercase, and — like Rust — IPv4-MAPPED addresses
+    render in mixed notation ``::ffff:a.b.c.d``, where Python's
+    ``ipaddress`` would print hex groups ``::ffff:102:304``).  Arrow-batched
+    pandas UDF — the one cast rule with no JVM-side equivalent.
+
+    Cached PER SESSION: pandas_udf memoizes a JVM handle bound to the
+    active SparkContext, so a module-global cache broke after a session
+    stop/restart in one Python process."""
+    global _ipv6_udf_cache
+    from pyspark.sql import SparkSession
+
+    session = SparkSession.getActiveSession()
+    if _ipv6_udf_cache[0] is not session or _ipv6_udf_cache[1] is None:
         def _norm_series(s: pd.Series) -> pd.Series:
             import ipaddress
 
@@ -88,14 +96,16 @@ def ipv6_canonical(col: Column) -> Column:
                 if x is None:
                     return None
                 try:
-                    return str(ipaddress.IPv6Address(x))
+                    a = ipaddress.IPv6Address(x)
                 except ValueError:
                     return None
+                m = a.ipv4_mapped
+                return f"::ffff:{m}" if m is not None else str(a)
 
             return s.map(norm)
 
-        _ipv6_udf = pandas_udf(_norm_series, "string")
-    return _ipv6_udf(col)
+        _ipv6_udf_cache = (session, pandas_udf(_norm_series, "string"))
+    return _ipv6_udf_cache[1](col)
 
 
 def _date_canonical(col: Column) -> Column:
@@ -280,6 +290,11 @@ def cast_to_float_sql(value: str, rcode: str) -> str:
 
 
 def cast_to_str_sql(value: str, rcode: str) -> str:
+    # FLOAT runtime renders the PARSED double, not the raw text, matching
+    # the engine (fv.cast("string")): "2.50" -> '2.5'.  Exponent-form
+    # rendering of large magnitudes still differs between engines (Spark
+    # '1.0E20' vs DuckDB '1e+20') — pinned; parity fixtures use values
+    # below the exponent-rendering threshold.
     iv = sniff.int_value_sql(value)
     return f"""
     CASE
@@ -287,6 +302,7 @@ def cast_to_str_sql(value: str, rcode: str) -> str:
       WHEN ({rcode}) = {BOOL} THEN
         CASE WHEN lower(trim({value})) = 'true' OR ({iv}) = 1 THEN 'true' ELSE 'false' END
       WHEN ({rcode}) = {INT} THEN CAST(({iv}) AS VARCHAR)
+      WHEN ({rcode}) = {FLOAT} THEN CAST(try_cast({value} AS DOUBLE) AS VARCHAR)
       ELSE {value}
     END
     """

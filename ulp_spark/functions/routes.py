@@ -48,11 +48,16 @@ def split_template(template: str) -> list[tuple[str, bool]]:
 def field_part(value: Column, type_code: Column) -> Column:
     """Route contribution of one extracted field (P5 semantics).
 
-    Evaluates on the JSON *runtime* type: IPv4/IPv6/Date-sniffed values are
-    runtime strings (``as_str()`` succeeds in the reference), so they route
-    as themselves; only true non-string scalars append nothing.
+    Evaluates on the MATERIALIZED JSON runtime type: IPv4/IPv6/Date-sniffed
+    values are runtime strings (``as_str()`` succeeds in the reference), so
+    they route as themselves; only true non-string scalars append nothing.
+    Non-finite Float sniffs ("inf", "1e999") can never be JSON numbers —
+    the reference holds ``Value::String("inf")``, ``as_str()`` succeeds,
+    and the record routes as the text (the same materialized-runtime rule
+    the cast stage already uses; plain runtime_code here silently-emptied
+    them — wrong sink).
     """
-    rcode = sniff.runtime_code(type_code)
+    rcode = sniff.materialized_runtime_code(value, type_code)
     return (
         F.when(value.isNull(), F.lit("NONE"))
         .when(rcode == sniff.STR, value)
@@ -80,11 +85,16 @@ def compile_template(template: str, fields: dict[str, tuple[Column, Column]]) ->
 
 
 def field_part_sql(value_expr: str, code_expr: str) -> str:
-    """DuckDB twin of :func:`field_part`."""
+    """DuckDB twin of :func:`field_part` (incl. the non-finite-Float ->
+    runtime-string rule)."""
     return f"""
     CASE
       WHEN {value_expr} IS NULL THEN 'NONE'
       WHEN ({code_expr}) IN ({sniff.STR}, {sniff.IPV4}, {sniff.IPV6}, {sniff.DATE})
+        THEN {value_expr}
+      WHEN ({code_expr}) = {sniff.FLOAT}
+           AND NOT (regexp_matches({value_expr}, '{sniff.RE_FLOAT}')
+                    AND isfinite(try_cast({value_expr} AS DOUBLE)))
         THEN {value_expr}
       ELSE ''
     END

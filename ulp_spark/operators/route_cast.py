@@ -96,7 +96,12 @@ def cast_single_pass(
         for t in targets:
             v, e = _repr_str(value, rcode, t, helpers)
             casted = F.when(tcol == t, v).otherwise(casted)
-            err_any = err_any | ((tcol == t) & e)
+            # coalesce guards three-valued logic: when this route's schema
+            # omits the field, tcol is NULL and (NULL == t) & TRUE is NULL —
+            # which would turn cast_error itself NULL (a row that BOTH
+            # filter(err) and filter(~err) drop).  Absent field = no cast =
+            # no error, i.e. false.
+            err_any = err_any | F.coalesce((tcol == t) & e, F.lit(False))
         out_cols.append(casted.alias(f"{f}__cast"))
     drop_cols = [f"{f}__{s}" for f in fields for s in ("iv", "bv", "fv", "target")]
     drop_cols.append("__known")

@@ -153,6 +153,7 @@ def ivf_centroids_trained(
     fixed iteration count, no RNG.
     """
     cents = ivf_centroids(df, vec_col, id_col, k)
+    k_eff = len(cents)  # a frame with < k rows trains fewer cells
     for _ in range(rounds):
         assigned = df.select(
             ivf_assign(F.col(vec_col), cents).alias("cell"),
@@ -169,22 +170,26 @@ def ivf_centroids_trained(
         cents = [
             [by_cell[i][p] for p in sorted(by_cell[i])]
             if i in by_cell else cents[i]
-            for i in range(k)
+            for i in range(k_eff)
         ]
     return cents
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid cell id by cosine (strictly-greater fold: first
-    centroid wins ties — same fold both engines)."""
-    best_cell, best_sim = F.lit(0), F.lit(-2.0)
-    for i, c in enumerate(centroids):
-        cc = F.array(*[F.lit(x) for x in c])
-        sim = F.round(cosine(vec, cc), 6)
-        better = sim > best_sim
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return best_cell
+    """Nearest-centroid cell id by cosine; first centroid wins ties
+    (``array_position`` returns the FIRST index of the max — identical to
+    a strictly-greater sequential fold, on both engines).
+
+    Expression size is LINEAR in k: each cosine appears exactly once inside
+    the sims array.  The previous when-fold nested the running best into
+    both the condition and the otherwise branch — the expression tree
+    doubled per centroid (the Catalyst-wedge pattern this repo has already
+    hit), fine at k=8 but fatal long before k=4096."""
+    sims = F.array(*[
+        F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])), 6)
+        for c in centroids
+    ])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def ivf_assign_sql(vec: str, centroids: list[list[float]]) -> str:

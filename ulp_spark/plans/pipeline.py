@@ -132,7 +132,12 @@ def build(
     source_token_hist = (
         routed_tokens.groupBy(
             "source",
-            (F.floor((F.col("n_tok") - 1) / HIST_BUCKET)).cast("int").alias("bucket"),
+            # clamp: the fixture guarantees n_tok >= 1, but an external
+            # sequences_df with zero-token docs must land in bucket 0, not
+            # a phantom bucket -1 (mirrored in pipeline.routed_sql's twin)
+            F.greatest(
+                F.floor((F.col("n_tok") - 1) / HIST_BUCKET), F.lit(0)
+            ).cast("int").alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("sum_tok"))
     )
