@@ -459,6 +459,72 @@ def _q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- corpus curation (repetition / passage dedup / decontamination / PII) --
+
+_STRAT_RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 20}
+_EVAL_PCT = 5  # decontamination eval split: hash_bucket(doc_id) < 5
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram signals, per doc (zero shuffle)."""
+    from ulp_spark.operators import curation
+
+    d = _docs(spark, sf_dir)
+    sig = curation.repetition_signals(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in sig.items()])
+
+
+def _q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style passage dedup: per-doc duplicated-chunk fraction vs the
+    whole corpus (window-count over the passage hash, two shuffles)."""
+    from ulp_spark.operators import curation
+
+    return curation.passage_dup_stats(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word 5-gram with
+    the deterministic eval split (broadcast semi-join on eval grams)."""
+    from ulp_spark.operators import curation, sampling
+
+    d = _docs(spark, sf_dir)
+    pred = sampling.hash_bucket(F.col("doc_id"), 100) < _EVAL_PCT
+    out = curation.contamination_flags(d, "text", "doc_id", pred)
+    return out.select(
+        "doc_id", F.col("is_contaminated").cast("int").alias("is_contaminated"))
+
+
+def _q_events_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a derived per-event log line (email + IPv4 rules,
+    pure regexp_replace — the enrich stage's redaction pass)."""
+    from ulp_spark.operators import curation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = F.concat(
+        F.col("event_type"), F.lit(" u"), F.col("user_id").cast("string"),
+        F.lit("@example.com from 10."), (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".7"))
+    red, counts = curation.redact(line)
+    return ev.select(
+        "event_id", red.alias("redacted"),
+        *[c.cast("bigint").alias(f"n_{k}") for k, c in counts.items()])
+
+
+def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: kept counts per stratum
+    (hash-bucket predicate — a pure scan filter at any scale)."""
+    from ulp_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    keep = sampling.stratified_keep(F.col("doc_id"), F.col("lang"), _STRAT_RATES)
+    return (
+        d.withColumn("kept", keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_counts": _q_route_counts,
@@ -500,6 +566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_cells_trained": _q_emb_ivf_cells_trained,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "events_asof_click": _q_events_asof_click,
+        "text_repetition": _q_text_repetition,
+        "doc_passage_dedup": _q_doc_passage_dedup,
+        "doc_contamination": _q_doc_contamination,
+        "events_pii_redact": _q_events_pii_redact,
+        "doc_stratified_sample": _q_doc_stratified_sample,
     }
 
 
@@ -973,4 +1044,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe)
             ORDER BY cos_sim DESC, a.vec_id LIMIT 10
         """,
+        "text_repetition": _curation_repetition_oracle(),
+        "doc_passage_dedup": _curation_passage_oracle(),
+        "doc_contamination": _curation_contamination_oracle(),
+        "events_pii_redact": _curation_pii_oracle(),
+        "doc_stratified_sample": _stratified_sample_oracle(),
     }
+
+
+def _curation_repetition_oracle() -> str:
+    from ulp_spark.operators import curation
+
+    sig = curation.repetition_signals_sql("text")
+    cols = ", ".join(f"{v} AS {k}" for k, v in sig.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def _curation_passage_oracle() -> str:
+    from ulp_spark.operators import curation
+
+    return curation.passage_dup_stats_sql("documents", "text", "doc_id")
+
+
+def _curation_contamination_oracle() -> str:
+    from ulp_spark.operators import curation, sampling
+
+    pred = f"{sampling.hash_bucket_sql('doc_id', 100)} < {_EVAL_PCT}"
+    inner = curation.contamination_sql("documents", "text", "doc_id", pred)
+    return (f"SELECT doc_id, is_contaminated::INT AS is_contaminated "
+            f"FROM ({inner})")
+
+
+def _curation_pii_oracle() -> str:
+    from ulp_spark.operators import curation
+
+    line = ("(event_type || ' u' || CAST(user_id AS VARCHAR) "
+            "|| '@example.com from 10.' || CAST(user_id % 256 AS VARCHAR) "
+            "|| '.' || CAST(event_id % 256 AS VARCHAR) || '.7')")
+    red, counts = curation.redact_sql(line)
+    count_cols = ", ".join(f"{v}::BIGINT AS n_{k}" for k, v in counts.items())
+    return f"SELECT event_id, {red} AS redacted, {count_cols} FROM events"
+
+
+def _stratified_sample_oracle() -> str:
+    from ulp_spark.operators import sampling
+
+    keep = sampling.stratified_keep_sql("doc_id", "lang", _STRAT_RATES)
+    return (f"SELECT lang, count(*)::BIGINT AS n_total, "
+            f"sum(({keep})::INT)::BIGINT AS n_kept "
+            f"FROM documents GROUP BY lang")

@@ -284,3 +284,99 @@ def test_session_boundary_tie_rules(spark):
     native = sessions.session_window_stats(df)
     assert sorted((r.user_id, r.n_events) for r in native.collect()) \
         == [(1, 1), (1, 2), (2, 1)]              # 101 merges here too
+
+
+# --------------------------------------------------------------------------
+# curation: repetition / passage dedup / contamination / PII / stratified
+# --------------------------------------------------------------------------
+
+def test_repetition_edge_cases(spark):
+    from ulp_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "a a a a"), (4, "a b c d"),
+         (5, "x y x y x y")],
+        "id long, text string")
+    sig = curation.repetition_signals(F.col("text"))
+    rows = {r.id: r for r in df.select(
+        "id", *[c.alias(k) for k, c in sig.items()]).collect()}
+    assert rows[1].n_words == 0 and rows[1].dup_word_frac == 0.0
+    assert rows[2].dup_2gram_frac == 0.0          # < 2 tokens -> no grams
+    assert rows[3].dup_word_frac == 0.75          # 4 occurrences, 1 distinct
+    assert rows[3].dup_2gram_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[4].dup_word_frac == 0.0
+    assert rows[5].distinct_word_ratio == pytest.approx(2 / 6, abs=1e-6)
+    # "x y" x3, "y x" x2 -> 5 bigrams, 2 distinct -> dup frac 3/5
+    assert rows[5].dup_2gram_frac == pytest.approx(3 / 5, abs=1e-6)
+
+
+def test_passage_dedup_counts_cross_and_within_doc(spark):
+    from ulp_spark.operators import curation
+
+    p = "one two three four five six seven eight"        # exactly 1 passage
+    df = spark.createDataFrame(
+        [(1, p), (2, p), (3, p + " " + p), (4, "totally unique passage here")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           curation.passage_dup_stats(df, "text", "doc_id").collect()}
+    assert got[1].n_dup_passages == 1 and got[1].dup_frac == 1.0
+    assert got[3].n_passages == 2 and got[3].n_dup_passages == 2
+    assert got[4].n_dup_passages == 0 and got[4].dup_frac == 0.0
+
+
+def test_contamination_flags_broadcast_semi(spark):
+    from ulp_spark.operators import curation
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),      # eval (pred below)
+        (1, "alpha beta gamma delta epsilon other tail"),  # shares a 5-gram
+        (2, "completely clean training document text here"),
+        (3, "short"),                                     # < 5 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.contamination_flags(
+        df, "text", "doc_id", F.col("doc_id") == 0)
+    got = {r.doc_id: r.is_contaminated for r in out.collect()}
+    assert got == {1: True, 2: False, 3: False}
+    # the eval-gram join side must be a broadcast (no corpus shuffle)
+    assert "BroadcastExchange" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_redact_rules_and_counts(spark):
+    from ulp_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c%d@sub.example.org and 10.0.0.1 plus 999.999.999.999"),
+         (2, "no pii at all"), (3, "v1.2.3.4000 is a version, not an ip")],
+        "id long, text string")
+    red, counts = curation.redact(F.col("text"))
+    rows = {r.id: r for r in df.select(
+        "id", red.alias("t"),
+        *[c.alias(f"n_{k}") for k, c in counts.items()]).collect()}
+    assert rows[1].t == "mail <EMAIL> and <IP> plus <IP>"
+    assert rows[1].n_email == 1 and rows[1].n_ipv4 == 2
+    assert rows[2].t == "no pii at all"
+    # "v1.2.3.4000": no \b before the 1 (v is a word char) and none inside
+    # 4000, so the version string survives unredacted.
+    assert rows[3].n_ipv4 == 0
+    assert rows[3].t == "v1.2.3.4000 is a version, not an ip"
+
+
+def test_stratified_keep_matches_duckdb(spark):
+    from ulp_spark.operators import sampling
+
+    rates = {"a": 10, "b": 90}
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)],
+        "id long, strat string")
+    kept = (df.filter(sampling.stratified_keep(F.col("id"), F.col("strat"), rates))
+            .groupBy("strat").count().collect())
+    got = {r.strat: r["count"] for r in kept}
+    want = duckdb.sql(
+        "SELECT strat, count(*) FROM (SELECT id, CASE WHEN id % 2 = 0 "
+        "THEN 'a' ELSE 'b' END AS strat FROM range(400) t(id)) "
+        f"WHERE {sampling.stratified_keep_sql('id', 'strat', rates)} GROUP BY strat"
+    ).fetchall()
+    assert got == dict(want)
+    # rough rate sanity: stratum b keeps ~90%, stratum a ~10%
+    assert got["b"] > got.get("a", 0)

@@ -1,0 +1,298 @@
+"""Corpus-curation operators for training-data pipelines: Gopher-style
+repetition signals, passage-level dedup, benchmark decontamination, and
+PII redaction.
+
+These are the filters an LLM data pipeline runs AFTER parsing and BEFORE
+tokenization (reference analog: the per-record enrich/filter stage of the
+ulp DAG, src/lib.rs record loop — here generalized to corpus hygiene).
+Design rules, same as textstats/dedup:
+
+* per-document signals are pure Column expressions over the token ARRAY
+  (higher-order functions) — zero shuffle, whole-stage codegen, O(n·k)
+  per row; at 100 TB they run at scan speed.
+* corpus-global signals (passage dup counts, contamination) shuffle ONLY
+  on the content key (passage hash / n-gram), never all-pairs; the eval
+  side of decontamination is broadcast (benchmark suites are tiny).
+* every op has a DuckDB SQL twin producing identical values, so each is
+  oracle-gated.
+
+Word n-grams here are SEQUENCES (position-preserving, duplicates kept) —
+unlike dedup._grams, which builds the distinct shingle SET — because the
+repetition signals measure exactly those duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PASSAGE_WORDS = 8          # words per dedup passage
+CONTAM_GRAM = 5            # words per decontamination n-gram
+ROUND = 6                  # decimal places for ratio outputs
+
+
+# --------------------------------------------------------------------------
+# word tokens + word n-gram sequences (duplicates kept)
+# --------------------------------------------------------------------------
+
+def word_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty/blank text -> empty array
+    (same emptiness rule as textstats.token_count_ws)."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
+def word_tokens_sql(text: str) -> str:
+    return (f"CASE WHEN len(trim(lower({text}))) = 0 THEN []::VARCHAR[] "
+            f"ELSE regexp_split_to_array(trim(lower({text})), '\\s+') END")
+
+
+def word_grams(tokens: Column, k: int) -> Column:
+    """All word ``k``-grams in order, duplicates kept; < k tokens -> empty."""
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_grams_sql(tokens: str, k: int) -> str:
+    # DuckDB list slice l[a:b] is 1-based inclusive; range(a, b) excludes b.
+    return (
+        f"CASE WHEN len({tokens}) >= {k} THEN "
+        f"list_transform(range(1, len({tokens}) - {k - 1} + 1), "
+        f"i -> array_to_string(({tokens})[i:i+{k - 1}], ' ')) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (per document, zero shuffle)
+# --------------------------------------------------------------------------
+
+def _dup_frac(grams: Column) -> Column:
+    """Fraction of n-gram OCCURRENCES whose gram appears more than once:
+    (total - distinct) / total; 0.0 when there are no grams."""
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(dup.cast("double") / total, ROUND))
+
+
+def _dup_frac_sql(grams: str) -> str:
+    return (f"CASE WHEN len({grams}) = 0 THEN 0.0 ELSE "
+            f"round((len({grams}) - len(list_distinct({grams})))::DOUBLE "
+            f"/ len({grams}), {ROUND}) END")
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Duplicate-n-gram fractions a-la Gopher quality filtering
+    (Rae et al. 2021, arXiv:2112.11446 §A1.1): repeated word / 2-gram /
+    3-gram mass signals boilerplate and degenerate generation loops.
+
+    Everything is array algebra on one row — size/array_distinct over
+    transform-built gram arrays — so the op is a codegen'd projection:
+    no shuffle, no UDF, cost O(n·k) per doc. A 100-TB corpus pays one
+    scan.
+    """
+    toks = word_tokens(text)
+    n = F.size(toks)
+    distinct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, ROUND))
+    return {
+        "n_words": n,
+        "distinct_word_ratio": distinct_ratio,
+        "dup_word_frac": _dup_frac(toks),
+        "dup_2gram_frac": _dup_frac(word_grams(toks, 2)),
+        "dup_3gram_frac": _dup_frac(word_grams(toks, 3)),
+    }
+
+
+def repetition_signals_sql(text: str) -> dict[str, str]:
+    toks = word_tokens_sql(text)
+    n = f"len({toks})"
+    return {
+        "n_words": n,
+        "distinct_word_ratio": (
+            f"CASE WHEN {n} = 0 THEN 0.0 ELSE "
+            f"round(len(list_distinct({toks}))::DOUBLE / ({n}), {ROUND}) END"),
+        "dup_word_frac": _dup_frac_sql(toks),
+        "dup_2gram_frac": _dup_frac_sql(word_grams_sql(toks, 2)),
+        "dup_3gram_frac": _dup_frac_sql(word_grams_sql(toks, 3)),
+    }
+
+
+# --------------------------------------------------------------------------
+# passage-level dedup (CCNet-style, corpus-global)
+# --------------------------------------------------------------------------
+
+def passage_hashes(text: Column, words: int = PASSAGE_WORDS) -> Column:
+    """md5 of each consecutive ``words``-word chunk (last chunk partial).
+
+    Chunking (stride = width) rather than sliding keeps the explode factor
+    at n/words instead of n — the CCNet paragraph-dedup shape applied to
+    token windows.
+    """
+    toks = word_tokens(text)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(words))).cast("int")
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.md5(F.concat_ws(" ", F.slice(toks, j * words + 1, words))),
+        ))
+
+
+def passage_hashes_sql(text: str, words: int = PASSAGE_WORDS) -> str:
+    toks = word_tokens_sql(text)
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN []::VARCHAR[] ELSE "
+        f"list_transform(range(0, CAST(ceil(len({toks}) / {words}.0) AS INT)), "
+        f"j -> md5(array_to_string(({toks})[j*{words}+1 : j*{words}+{words}], ' '))) END"
+    )
+
+
+def passage_dup_stats(
+    df: DataFrame, text_col: str, id_col: str, words: int = PASSAGE_WORDS,
+) -> DataFrame:
+    """Per-document duplicated-passage stats against the WHOLE corpus.
+
+    Plan: explode passage hashes -> window count over the hash -> re-group
+    by doc. Exactly two shuffles (hash key, then doc id), both on keys the
+    data is naturally sized by; the window avoids a third shuffle that a
+    count-then-join formulation would pay. No collect, no all-pairs — a
+    passage shared by M docs costs M rows, not M^2.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(passage_hashes(F.col(text_col), words)).alias("ph"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("ph"))
+    per_passage = exploded.withColumn("ph_count", cnt)
+    n_p = F.count(F.lit(1))
+    n_dup = F.sum((F.col("ph_count") > 1).cast("int"))
+    return per_passage.groupBy(id_col).agg(
+        n_p.alias("n_passages"),
+        n_dup.cast("bigint").alias("n_dup_passages"),
+        F.round(n_dup.cast("double") / n_p, ROUND).alias("dup_frac"),
+    )
+
+
+def passage_dup_stats_sql(
+    table: str, text_col: str, id_col: str, words: int = PASSAGE_WORDS,
+) -> str:
+    return f"""
+        WITH p AS (
+            SELECT {id_col},
+                   unnest({passage_hashes_sql(text_col, words)}) AS ph
+            FROM {table}
+        ),
+        c AS (SELECT ph, count(*) AS ph_count FROM p GROUP BY ph)
+        SELECT p.{id_col},
+               count(*)::BIGINT AS n_passages,
+               sum((c.ph_count > 1)::INT)::BIGINT AS n_dup_passages,
+               round(sum((c.ph_count > 1)::INT)::DOUBLE / count(*), {ROUND}) AS dup_frac
+        FROM p JOIN c USING (ph)
+        GROUP BY p.{id_col}
+    """
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out eval split)
+# --------------------------------------------------------------------------
+
+def contamination_flags(
+    df: DataFrame, text_col: str, id_col: str,
+    eval_pred: Column, k: int = CONTAM_GRAM,
+) -> DataFrame:
+    """Flag train docs sharing any word ``k``-gram with the eval split.
+
+    The standard decontamination shape (GPT-3 App. C / PaLM §6.1-style
+    n-gram overlap): build the eval split's distinct n-gram set, mark any
+    training document containing one. ``eval_pred`` is a boolean Column
+    over ``df``'s rows selecting the eval side (derive it from
+    sampling.hash_bucket for engine-portable determinism).
+
+    Scale shape: the eval set is a benchmark suite — tiny next to 100 TB —
+    so its distinct grams broadcast, and the train side is a broadcast
+    LEFT SEMI join on the exploded grams: no shuffle of the corpus, and
+    the explode is pre-aggregated back to one row per doc. Returns
+    (id, is_contaminated) for TRAIN docs only.
+    """
+    grams = word_grams(word_tokens(F.col(text_col)), k)
+    sides = df.select(F.col(id_col), eval_pred.alias("is_eval"),
+                      F.explode(grams).alias("gram"))
+    eval_grams = sides.filter("is_eval").select("gram").distinct()
+    train = sides.filter(~F.col("is_eval"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col).distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    train_ids = df.filter(~eval_pred).select(id_col)
+    return train_ids.join(hits, id_col, "left").fillna(
+        False, subset=["is_contaminated"])
+
+
+def contamination_sql(
+    table: str, text_col: str, id_col: str,
+    eval_pred_sql: str, k: int = CONTAM_GRAM,
+) -> str:
+    toks = word_tokens_sql(text_col)
+    return f"""
+        WITH g AS (
+            SELECT {id_col}, ({eval_pred_sql}) AS is_eval,
+                   unnest({word_grams_sql(toks, k)}) AS gram
+            FROM {table}
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+        hits AS (
+            SELECT DISTINCT {id_col} FROM g
+            WHERE NOT is_eval AND gram IN (SELECT gram FROM ev)
+        )
+        SELECT t.{id_col},
+               (t.{id_col} IN (SELECT {id_col} FROM hits)) AS is_contaminated
+        FROM {table} t WHERE NOT ({eval_pred_sql})
+    """
+
+
+# --------------------------------------------------------------------------
+# PII redaction (regex scrub, per row, zero shuffle)
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax identical under Java regex and RE2
+# (DuckDB): ASCII classes, \\b word boundaries, bounded repeats.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact(text: Column, rules=None) -> tuple[Column, dict[str, Column]]:
+    """Apply redaction rules in order; returns (redacted, {name: n_hits}).
+
+    Hit counts are measured on the text as each rule sees it (post prior
+    redactions), matching what was actually replaced. Pure regexp_replace /
+    regexp_count — codegen'd, no UDF.
+    """
+    rules = rules if rules is not None else PII_RULES
+    counts: dict[str, Column] = {}
+    out = text
+    for name, pat, repl in rules:
+        counts[name] = F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, repl)
+    return out, counts
+
+
+def redact_sql(text: str, rules=None) -> tuple[str, dict[str, str]]:
+    rules = rules if rules is not None else PII_RULES
+    counts: dict[str, str] = {}
+    out = text
+    for name, pat, repl in rules:
+        counts[name] = f"len(regexp_extract_all({out}, '{pat}'))"
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out, counts

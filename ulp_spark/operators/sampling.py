@@ -65,3 +65,30 @@ def split_label_sql(
 def deterministic_sample(df, id_col: str, rate_pct: int, buckets: int = 100):
     """Reproducible ``rate_pct``%% sample: bucket < rate — a scan predicate."""
     return df.filter(hash_bucket(F.col(id_col), buckets) < rate_pct)
+
+
+def stratified_keep(
+    id_col: Column, strat_col: Column, rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> Column:
+    """Per-stratum deterministic sampling predicate: keep iff
+    hash_bucket(id) < rate(stratum). The standard corpus re-balancing move
+    (downsample the over-represented language/domain) expressed as a pure
+    scan filter: no shuffle, no rand(), identical membership at any
+    parallelism — the property a 100-TB resample actually needs."""
+    b = hash_bucket(id_col, 100)
+    rate = F.lit(default_pct)
+    for key, pct in rates_pct.items():
+        rate = F.when(strat_col == key, F.lit(pct)).otherwise(rate)
+    return b < rate
+
+
+def stratified_keep_sql(
+    id_expr: str, strat_expr: str, rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> str:
+    b = hash_bucket_sql(id_expr, 100)
+    rate = str(default_pct)
+    for key, pct in rates_pct.items():
+        rate = f"CASE WHEN {strat_expr} = '{key}' THEN {pct} ELSE {rate} END"
+    return f"(({b}) < ({rate}))"
