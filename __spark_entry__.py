@@ -525,6 +525,54 @@ def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET = 300  # per-source token budget for the mixing query
+_MIN_QUALITY = 0.7
+_MAX_DUP_WORD = 0.55
+
+
+def _q_doc_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 docs per source by quality score (one group-key shuffle)."""
+    from ulp_spark.operators import curation
+
+    return curation.quality_topk(_docs(spark, sf_dir), "text", "doc_id",
+                                 "source", k=3)
+
+
+def _q_doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection (data mixing prefix-sum)."""
+    from ulp_spark.operators import curation
+
+    return curation.token_budget_mix(_docs(spark, sf_dir), "text", "doc_id",
+                                     "source", budget=_TOKEN_BUDGET)
+
+
+def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: exact dedup (min-id winner per fingerprint) ->
+    repetition + quality filters -> stratified downsample -> per-lang
+    counts. Composes textstats/curation/sampling in one plan: one window
+    shuffle on the fingerprint, scan-level filters, one final aggregate."""
+    from pyspark.sql import Window
+
+    from ulp_spark.operators import curation, sampling
+
+    d = _docs(spark, sf_dir).withColumn(
+        "fp", textstats.fingerprint(F.col("text")))
+    w = F.min("doc_id").over(Window.partitionBy("fp"))
+    sig = curation.repetition_signals(F.col("text"))
+    keep = sampling.stratified_keep(F.col("doc_id"), F.col("lang"), _STRAT_RATES)
+    return (
+        d.withColumn("min_id", w)
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .filter(sig["dup_word_frac"] <= _MAX_DUP_WORD)
+        .filter(textstats.quality_score(F.col("text")) >= _MIN_QUALITY)
+        .filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(textstats.token_count_ws(F.col("text")).cast("bigint"))
+              .alias("n_tokens"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_counts": _q_route_counts,
@@ -571,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": _q_doc_contamination,
         "events_pii_redact": _q_events_pii_redact,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_quality_topk": _q_doc_quality_topk,
+        "doc_token_budget_mix": _q_doc_token_budget_mix,
+        "corpus_curation_pipeline": _q_corpus_curation_pipeline,
     }
 
 
@@ -1049,6 +1100,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": _curation_contamination_oracle(),
         "events_pii_redact": _curation_pii_oracle(),
         "doc_stratified_sample": _stratified_sample_oracle(),
+        "doc_quality_topk": _quality_topk_oracle(),
+        "doc_token_budget_mix": _token_budget_oracle(),
+        "corpus_curation_pipeline": _curation_pipeline_oracle(),
     }
 
 
@@ -1084,6 +1138,42 @@ def _curation_pii_oracle() -> str:
     red, counts = curation.redact_sql(line)
     count_cols = ", ".join(f"{v}::BIGINT AS n_{k}" for k, v in counts.items())
     return f"SELECT event_id, {red} AS redacted, {count_cols} FROM events"
+
+
+def _quality_topk_oracle() -> str:
+    from ulp_spark.operators import curation
+
+    return curation.quality_topk_sql("documents", "text", "doc_id",
+                                     "source", k=3)
+
+
+def _token_budget_oracle() -> str:
+    from ulp_spark.operators import curation
+
+    return curation.token_budget_mix_sql("documents", "text", "doc_id",
+                                         "source", budget=_TOKEN_BUDGET)
+
+
+def _curation_pipeline_oracle() -> str:
+    from ulp_spark.operators import curation, sampling
+
+    sig = curation.repetition_signals_sql("text")
+    keep = sampling.stratified_keep_sql("doc_id", "lang", _STRAT_RATES)
+    return f"""
+        WITH deduped AS (
+            SELECT doc_id, lang, text,
+                   {textstats.fingerprint_sql('text')} AS fp
+            FROM documents
+            QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+        )
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum({textstats.token_count_ws_sql('text')})::BIGINT AS n_tokens
+        FROM deduped
+        WHERE ({sig['dup_word_frac']}) <= {_MAX_DUP_WORD}
+          AND ({textstats.quality_score_sql('text')}) >= {_MIN_QUALITY}
+          AND {keep}
+        GROUP BY lang
+    """
 
 
 def _stratified_sample_oracle() -> str:

@@ -380,3 +380,33 @@ def test_stratified_keep_matches_duckdb(spark):
     assert got == dict(want)
     # rough rate sanity: stratum b keeps ~90%, stratum a ~10%
     assert got["b"] > got.get("a", 0)
+
+
+def test_quality_topk_ranks_and_ties(spark):
+    from ulp_spark.operators import curation
+
+    # two docs with IDENTICAL text (tied score) -> smaller id wins rank
+    df = spark.createDataFrame(
+        [(1, "s", "the quick brown fox is in the den and it is fine"),
+         (2, "s", "the quick brown fox is in the den and it is fine"),
+         (3, "s", "zz"), (4, "t", "the and of to is in that it fits")],
+        "doc_id long, source string, text string")
+    got = {(r.source, r.rank): r.doc_id
+           for r in curation.quality_topk(df, "text", "doc_id", "source", k=2).collect()}
+    assert got[("s", 1)] == 1 and got[("s", 2)] == 2
+    assert got[("t", 1)] == 4 and ("t", 2) not in got
+
+
+def test_token_budget_mix_prefix_rule(spark):
+    from ulp_spark.operators import curation
+
+    # budget 5: doc1 (3 tok) kept, doc2 (3 tok, cum 6) dropped, and doc3
+    # (1 tok, cum 7) STAYS dropped — prefix rule, not best-fit.
+    df = spark.createDataFrame(
+        [(1, "g", "a b c"), (2, "g", "d e f"), (3, "g", "x"),
+         (4, "h", "only one doc here")],
+        "doc_id long, source string, text string")
+    got = {r.source: (r.n_kept, r.tokens_kept)
+           for r in curation.token_budget_mix(df, "text", "doc_id", "source", 5).collect()}
+    assert got["g"] == (1, 3)
+    assert got["h"] == (1, 4)
