@@ -466,12 +466,11 @@ _EVAL_PCT = 5  # decontamination eval split: hash_bucket(doc_id) < 5
 
 
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style duplicate-n-gram signals, per doc (zero shuffle)."""
+    """Gopher-style duplicate-n-gram signals, per doc (zero shuffle;
+    staged projections — see curation.repetition_stats docstring)."""
     from ulp_spark.operators import curation
 
-    d = _docs(spark, sf_dir)
-    sig = curation.repetition_signals(F.col("text"))
-    return d.select("doc_id", *[c.alias(k) for k, c in sig.items()])
+    return curation.repetition_stats(_docs(spark, sf_dir), "text", "doc_id")
 
 
 def _q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

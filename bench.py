@@ -70,6 +70,43 @@ def main() -> None:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     timed("events_json_schema", lambda: lattice.json_field_schema(ev, "props").collect())
 
+    # Curation suite over a replicated documents table (timings reported in
+    # a SEPARATE dict so "value"/"queries" stay 1:1 comparable with
+    # BENCH_r01; the sf tables' documents are tiny, so replicate them
+    # deterministically — R replicas, per-replica suffix token).
+    from ulp_spark.operators import curation  # noqa: E402
+
+    rep = int(os.environ.get("ULP_BENCH_DOC_REP", 100 if sf >= 0.1 else 10))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big = (
+        docs.select(
+            "doc_id", "text", "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"))
+        .select(
+            (F.col("doc_id") * rep + F.col("r")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" r"),
+                     F.col("r").cast("string")).alias("text"),
+            "lang")
+    )
+    n_docs = docs.count() * rep
+    cur: dict[str, float] = {}
+
+    def ctimed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        cur[name] = round(time.perf_counter() - t0, 3)
+
+    ctimed("repetition_signals", lambda: curation.repetition_stats(
+        big, "text", "doc_id"
+    ).agg(F.sum("n_words"), F.avg("dup_2gram_frac")).collect())
+    ctimed("passage_dedup", lambda: curation.passage_dup_stats(
+        big, "text", "doc_id"
+    ).agg(F.sum("n_passages"), F.sum("n_dup_passages")).collect())
+    red, _counts = curation.redact(F.col("text"))
+    ctimed("pii_redact", lambda: big.select(
+        F.sum(F.length(red))).collect())
+    cur_total = round(sum(cur.values()), 3)
+
     total = round(sum(v for k, v in timings.items() if k != "warmup"), 3)
     print(json.dumps({
         "metric": "full parse->enrich->route->cast->aggregate DAG, sec",
@@ -81,6 +118,12 @@ def main() -> None:
         "pipeline_sec": round(pipeline_sec, 3),
         "throughput_seq_per_sec": round(n_seqs / pipeline_sec, 1),
         "cpus": int(cpus),
+        "curation": {
+            "docs": n_docs,
+            "sec": cur_total,
+            "queries": cur,
+            "docs_per_sec": round(n_docs / cur_total, 1) if cur_total else None,
+        },
     }))
     spark.stop()
 
