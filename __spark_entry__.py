@@ -557,18 +557,21 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn(
         "fp", textstats.fingerprint(F.col("text")))
     w = F.min("doc_id").over(Window.partitionBy("fp"))
-    sig = curation.repetition_signals(F.col("text"))
     keep = sampling.stratified_keep(F.col("doc_id"), F.col("lang"), _STRAT_RATES)
+    n_tok = F.size("toks")
     return (
         d.withColumn("min_id", w)
         .filter(F.col("doc_id") == F.col("min_id"))
-        .filter(sig["dup_word_frac"] <= _MAX_DUP_WORD)
-        .filter(textstats.quality_score(F.col("text")) >= _MIN_QUALITY)
+        # stage the token array ONCE; every downstream signal reuses it
+        # (Catalyst does not CSE repeated split copies — repetition_stats)
+        .select("doc_id", "lang", "text",
+                curation.word_tokens(F.col("text")).alias("toks"))
+        .filter(curation._dup_frac(F.col("toks")) <= _MAX_DUP_WORD)
+        .filter(textstats.quality_score(F.col("text"), n_tok) >= _MIN_QUALITY)
         .filter(keep)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum(textstats.token_count_ws(F.col("text")).cast("bigint"))
-              .alias("n_tokens"))
+             F.sum(n_tok.cast("bigint")).alias("n_tokens"))
     )
 
 

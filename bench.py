@@ -76,7 +76,8 @@ def main() -> None:
     # deterministically — R replicas, per-replica suffix token).
     from ulp_spark.operators import curation  # noqa: E402
 
-    rep = int(os.environ.get("ULP_BENCH_DOC_REP", 100 if sf >= 0.1 else 10))
+    rep = max(1, int(os.environ.get("ULP_BENCH_DOC_REP",
+                                    100 if sf >= 0.1 else 10)))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     big = (
         docs.select(

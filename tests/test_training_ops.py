@@ -410,3 +410,50 @@ def test_token_budget_mix_prefix_rule(spark):
            for r in curation.token_budget_mix(df, "text", "doc_id", "source", 5).collect()}
     assert got["g"] == (1, 3)
     assert got["h"] == (1, 4)
+
+
+def test_word_tokens_whitespace_class_matches_duckdb(spark):
+    """Java \\s includes \\x0B (vertical tab); RE2's does not. word_tokens
+    uses an explicit class so both engines split identically."""
+    from ulp_spark.operators import curation
+
+    texts = ["x\x0by vertical", "a\tb\nc", "  pad  ", "\x0b\x0b", "a\x0b",
+             "mix \x0b\t\r\n end", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r.id: (r.n, sorted(r.toks)) for r in df.select(
+        "id", F.size(curation.word_tokens(F.col("text"))).alias("n"),
+        curation.word_tokens(F.col("text")).alias("toks")).collect()}
+    con = duckdb.connect()
+    toks_sql = curation.word_tokens_sql("text")
+    for i, t in enumerate(texts):
+        row = con.execute(
+            f"SELECT len({toks_sql}), {toks_sql} FROM (SELECT ? AS text)",
+            [t]).fetchone()
+        assert got[i] == (row[0], sorted(row[1])), (i, repr(t), got[i], row)
+
+
+def test_token_count_ws_vertical_tab_matches_duckdb(spark):
+    from ulp_spark.operators import textstats
+
+    texts = ["x\x0by z", "a b", "\x0b", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r.id: r.n for r in df.select(
+        "id", textstats.token_count_ws(F.col("text")).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (n,) = con.execute(
+            f"SELECT {textstats.token_count_ws_sql('text')} "
+            "FROM (SELECT ? AS text)", [t]).fetchone()
+        assert got[i] == n, (i, repr(t), got[i], n)
+
+
+def test_stratified_keep_sql_escapes_quotes():
+    from ulp_spark.operators import sampling
+
+    sql = sampling.stratified_keep_sql("id", "strat", {"o'hara": 100})
+    rows = duckdb.sql(
+        "SELECT count(*) FROM (SELECT 1 AS id, 'o''hara' AS strat) "
+        f"WHERE {sql}").fetchone()
+    assert rows[0] == 1

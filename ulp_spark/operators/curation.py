@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ulp_spark.operators.textstats import SPLIT_WS
+
 PASSAGE_WORDS = 8          # words per dedup passage
 CONTAM_GRAM = 5            # words per decontamination n-gram
 ROUND = 6                  # decimal places for ratio outputs
@@ -40,12 +42,13 @@ def word_tokens(text: Column) -> Column:
     (same emptiness rule as textstats.token_count_ws)."""
     t = F.trim(F.lower(text))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.split(t, r"\s+"))
+            .otherwise(F.split(t, SPLIT_WS))
 
 
 def word_tokens_sql(text: str) -> str:
+    # SPLIT_WS, not `\s`: Java \s includes \x0B, RE2's does not.
     return (f"CASE WHEN len(trim(lower({text}))) = 0 THEN []::VARCHAR[] "
-            f"ELSE regexp_split_to_array(trim(lower({text})), '\\s+') END")
+            f"ELSE regexp_split_to_array(trim(lower({text})), '{SPLIT_WS}') END")
 
 
 def word_grams(tokens: Column, k: int) -> Column:
@@ -324,8 +327,9 @@ def redact_sql(text: str, rules=None) -> tuple[str, dict[str, str]]:
     counts: dict[str, str] = {}
     out = text
     for name, pat, repl in rules:
-        counts[name] = f"len(regexp_extract_all({out}, '{pat}'))"
-        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+        sp, sr = pat.replace("'", "''"), repl.replace("'", "''")
+        counts[name] = f"len(regexp_extract_all({out}, '{sp}'))"
+        out = f"regexp_replace({out}, '{sp}', '{sr}', 'g')"
     return out, counts
 
 

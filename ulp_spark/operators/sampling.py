@@ -90,5 +90,6 @@ def stratified_keep_sql(
     b = hash_bucket_sql(id_expr, 100)
     rate = str(default_pct)
     for key, pct in rates_pct.items():
-        rate = f"CASE WHEN {strat_expr} = '{key}' THEN {pct} ELSE {rate} END"
+        sk = key.replace("'", "''")
+        rate = f"CASE WHEN {strat_expr} = '{sk}' THEN {pct} ELSE {rate} END"
     return f"(({b}) < ({rate}))"

@@ -19,9 +19,15 @@ LANG_MARKERS: dict[str, list[str]] = {
     "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
     "es": ["el", "los", "las", "es", "una", "que", "por", "para"],
 }
+# Whitespace written out as an explicit class: Java regex \s includes
+# vertical tab \x0B but RE2 (DuckDB) \s does not, so a bare `\s` drifts
+# between the two engines on \x0B. Both engines read this class
+# identically (backslash escapes interpreted by the regex engine).
+WS = r"\t\n\x0B\f\r "
+SPLIT_WS = rf"[{WS}]+"
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-PUNCT_RE = r"[^A-Za-z0-9\s]"
+TOKEN_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS}]"
+PUNCT_RE = rf"[^A-Za-z0-9{WS}]"
 STOP_EN = LANG_MARKERS["en"]
 
 
@@ -64,7 +70,7 @@ def token_count_ws(text: Column) -> Column:
     """Whitespace tokens (0 for empty/blank)."""
     t = F.trim(text)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+")))
+        F.size(F.split(t, SPLIT_WS)))
 
 
 def token_count_bpe(text: Column) -> Column:
@@ -74,17 +80,22 @@ def token_count_bpe(text: Column) -> Column:
 
 def token_count_ws_sql(text: str) -> str:
     return (f"CASE WHEN len(trim({text})) = 0 THEN 0 "
-            f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END")
+            f"ELSE len(regexp_split_to_array(trim({text}), '{SPLIT_WS}')) END")
 
 
 def token_count_bpe_sql(text: str) -> str:
     return f"len(regexp_extract_all({text}, '{TOKEN_RE}'))"
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    """Surface-statistics quality signals (all deterministic doubles)."""
+def quality_features(text: Column, n_tokens: Column | None = None) -> dict[str, Column]:
+    """Surface-statistics quality signals (all deterministic doubles).
+
+    Pass ``n_tokens`` (a staged `F.size(tokens)` column) to avoid
+    re-inlining the whitespace split — Catalyst does not CSE the copies
+    (see curation.repetition_stats for the measured cost).
+    """
     n_chars = F.length(text)
-    n_tok = token_count_ws(text)
+    n_tok = token_count_ws(text) if n_tokens is None else n_tokens
     n_punct = F.regexp_count(text, F.lit(PUNCT_RE))
     n_stop = F.regexp_count(F.lower(text), F.lit(_marker_pattern(STOP_EN)))
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
@@ -99,9 +110,9 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, n_tokens: Column | None = None) -> Column:
     """[0,1] composite: long enough, some stopwords, sane punctuation."""
-    f = quality_features(text)
+    f = quality_features(text, n_tokens)
     len_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
     stop_ok = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
     punct_pen = F.greatest(F.lit(1.0) - f["punct_ratio"] * 5, F.lit(0.0))
