@@ -186,6 +186,17 @@ def _q_doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates(d, "text", "doc_id")
 
 
+def _q_doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the minhash candidate
+    pairs; comp_id = canonical (min) doc_id per cluster. Spark side is
+    iterative min-label propagation with pointer jumping (converged fixed
+    point); oracle is the exact recursive-CTE transitive closure — both
+    yield the unique min-id-per-component labeling."""
+    pairs = dedup.minhash_candidates(_docs(spark, sf_dir), "text", "doc_id")
+    cc = dedup.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "comp_id")
+
+
 def _emb_query_vec(spark, sf_dir) -> list[float]:
     row = _embs(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
     return [float(x) for x in row.embedding]
@@ -296,6 +307,34 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+def _q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: selective filters pushed into
+    all three parquet scans, the filtered customer dim BROADCAST, one
+    shuffle join lineitem-orders on the order key, top-10 by revenue via
+    TakeOrderedAndProject (no global sort). Decimal accumulation + final
+    rounded-double emission per the lineitem_pricing_summary rule."""
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    d = lambda name: F.col(name).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(
+            F.sum((d("l_extendedprice")
+                   * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                  .cast("decimal(28,4)")).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
     )
 
 
@@ -592,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_minhash_candidates": _q_doc_minhash_candidates,
         "doc_simhash_candidates": _q_doc_simhash_candidates,
+        "doc_dedup_groups": _q_doc_dedup_groups,
+        "orders_shipping_priority": _q_orders_shipping_priority,
         "emb_topk_cosine": _q_emb_topk,
         "emb_srp_buckets": _q_emb_srp_buckets,
         "text_langid": _q_text_langid,
@@ -857,6 +898,24 @@ def oracle_sql() -> dict[str, str]:
             "documents", "text", "doc_id"),
         "doc_simhash_candidates": dedup.simhash_candidates_sql(
             "documents", "text", "doc_id", max_hamming=3),
+        "doc_dedup_groups": dedup.connected_components_sql(
+            dedup.minhash_candidates_sql("documents", "text", "doc_id"),
+            id_alias="doc_id"),
+        "orders_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4)))::DOUBLE, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
         "emb_topk_cosine": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[],

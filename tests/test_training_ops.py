@@ -457,3 +457,21 @@ def test_stratified_keep_sql_escapes_quotes():
         "SELECT count(*) FROM (SELECT 1 AS id, 'o''hara' AS strat) "
         f"WHERE {sql}").fetchone()
     assert rows[0] == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitivity beyond direct neighbors (a 6-node chain needs real
+    propagation) plus a separate 2-node island; fixed point matches the
+    DuckDB recursive-CTE closure."""
+    from ulp_spark.operators import dedup
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    want = dict(con.sql(dedup.connected_components_sql(
+        f"SELECT * FROM (VALUES {vals}) t(id_a, id_b)")).fetchall())
+    assert got == want

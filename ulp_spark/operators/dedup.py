@@ -377,3 +377,83 @@ def simhash_candidates_sql(
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
     """
+
+
+# --------------------------------------------------------------------------
+# dedup clustering: connected components over candidate pairs
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """``(id, comp_id)`` for every node in ``pairs``, where ``comp_id`` is
+    the minimum node id in the node's connected component — the canonical
+    document of a near-duplicate cluster.
+
+    Min-label propagation with pointer jumping (the MapReduce CC family,
+    Kiveris et al. 2014): each round every node takes the min component
+    over its closed neighborhood, then resolves ``comp -> comp(comp)``,
+    halving chain lengths so rounds are O(log diameter).  Each round is
+    two equi-joins shuffled on the node id; lineage is truncated with
+    ``localCheckpoint`` so plans stay flat across iterations.  Convergence
+    is detected with a single scalar aggregate — component labels only
+    ever DECREASE, so an unchanged ``sum(comp)`` means a fixed point; no
+    per-round diff join.  The fixed point (min id per component) is unique
+    and independent of the round count, hence oracle-comparable against a
+    recursive-CTE transitive closure.
+
+    Not in the reference engine (its dedup story ends at per-record ids);
+    this is the standard downstream of LSH candidate generation in corpus
+    pipelines — near-dup GROUPS, from which one keeps comp_id == id.
+    """
+    # Materialize the symmetric edge list ONCE — without this every round
+    # re-executes the upstream plan (e.g. the whole LSH candidate join).
+    sym = pairs.select(F.col("id_a").alias("n"), F.col("id_b").alias("m")).union(
+        pairs.select(F.col("id_b").alias("n"), F.col("id_a").alias("m"))
+    ).localCheckpoint()
+    labels = (
+        sym.groupBy("n").agg(F.min("m").alias("nbr_min"))
+        .select("n", F.least(F.col("n"), F.col("nbr_min")).alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.select(F.col("n").alias("m2"), "comp"),
+                     F.col("m") == F.col("m2"))
+            .groupBy("n").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(prop, "n", "left")
+            .select("n", F.least(F.col("comp"),
+                                 F.coalesce("nbr_comp", "comp")).alias("comp"))
+        )
+        jump = labels.select(F.col("n").alias("cn"), F.col("comp").alias("ccomp"))
+        new = (
+            new.join(jump, new["comp"] == F.col("cn"), "left")
+            .select("n", F.least(F.col("comp"),
+                                 F.coalesce("ccomp", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("n").alias("id"), F.col("comp").alias("comp_id"))
+
+
+def connected_components_sql(pairs_sql: str, id_alias: str = "id") -> str:
+    """DuckDB twin: exact transitive closure by recursive CTE (small-scale
+    oracle only — the closure is quadratic in cluster size)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    sym AS (
+      SELECT id_a AS n, id_b AS m FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT n, m FROM sym
+      UNION
+      SELECT r.n, s.m FROM reach r JOIN sym s ON r.m = s.n
+    )
+    SELECT n AS {id_alias}, least(n, min(m)) AS comp_id FROM reach GROUP BY n
+    """
