@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ulp_spark import fixtures
 from ulp_spark.functions import casts, sanitize, sniff
 from ulp_spark.operators import dedup, lattice, multimodal, parse, similarity, textstats
+from ulp_spark.operators import vocab as _vocab
 from ulp_spark.plans import pipeline
 
 N_FIXTURE = 10_000
@@ -308,6 +309,23 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50: explode+count collapses the corpus to
+    vocabulary scale with map-side combine; top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from ulp_spark.operators import vocab
+
+    return vocab.vocab_topk(_docs(spark, sf_dir), "text", k=50)
+
+
+def _q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 greedy BPE merge candidates: adjacent-char-pair counts
+    weighted by word frequency, computed at vocabulary scale."""
+    from ulp_spark.operators import vocab
+
+    return vocab.bpe_top_merges(_docs(spark, sf_dir), "text", k=20)
 
 
 def _q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "doc_dedup_groups": _q_doc_dedup_groups,
         "orders_shipping_priority": _q_orders_shipping_priority,
+        "vocab_topk": _q_vocab_topk,
+        "bpe_top_merges": _q_bpe_top_merges,
         "emb_topk_cosine": _q_emb_topk,
         "emb_srp_buckets": _q_emb_srp_buckets,
         "text_langid": _q_text_langid,
@@ -901,6 +921,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_groups": dedup.connected_components_sql(
             dedup.minhash_candidates_sql("documents", "text", "doc_id"),
             id_alias="doc_id"),
+        "vocab_topk": _vocab.vocab_topk_sql("documents", "text", k=50),
+        "bpe_top_merges": _vocab.bpe_top_merges_sql("documents", "text", k=20),
         "orders_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -475,3 +475,21 @@ def test_connected_components_chain_and_islands(spark):
     want = dict(con.sql(dedup.connected_components_sql(
         f"SELECT * FROM (VALUES {vals}) t(id_a, id_b)")).fetchall())
     assert got == want
+
+
+def test_bpe_pair_counts_occurrences_and_weights(spark):
+    """'aaa' yields pair 'aa' TWICE per occurrence; single-char words
+    contribute no pairs; counts weighted by word frequency."""
+    from ulp_spark.operators import vocab
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa b"), (2, "ab")], "doc_id long, text string")
+    got = {r.pair: r.n for r in vocab.bpe_pair_counts(df, "text").collect()}
+    assert got == {"aa": 4, "ab": 1}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW d AS SELECT * FROM (VALUES (1, 'aaa aaa b'), "
+                "(2, 'ab')) t(doc_id, text)")
+    want = dict(con.sql(
+        "SELECT pair, n FROM (" + vocab.bpe_pair_counts_sql("d", "text") + ")"
+    ).fetchall())
+    assert got == want
