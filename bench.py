@@ -80,7 +80,8 @@ def main() -> None:
                                     100 if sf >= 0.1 else 10)))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     big = (
-        docs.select(
+        docs.repartition(int(cpus) * 4)  # parallelize the explode below
+        .select(
             "doc_id", "text", "lang",
             F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"))
         .select(

@@ -76,8 +76,60 @@ spark.stop()
 """
 
 
+CHILD_DOCS = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from ulp_spark.session import get_spark
+from ulp_spark.operators import vocab
+
+rep, cpus = {rep}, {cpus}
+spark = get_spark("scaling-docs", master=f"local[{cpus}]",
+                  extra_conf={{"spark.sql.shuffle.partitions": str(2 * {cpus})}})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+n_docs = docs.count() * rep
+
+def job(i=0):
+    # Repartition the SMALL base table BEFORE the explode: the 500-row
+    # parquet reads as one partition, and exploding x{{rep}} there would
+    # generate the whole corpus on a single task — a serial section that
+    # caps measured scaling (observed: 2->8 efficiency 0.40 with the
+    # explode downstream of a 1-partition scan, 0.9+ with it parallel).
+    big = (docs.repartition(4 * {cpus})
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"))
+        .select((F.col("doc_id") * rep + F.col("r")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" r" + str(i) + "_"),
+                         F.col("r").cast("string")).alias("text")))
+    return vocab.bpe_top_merges(big, "text", k=20)
+
+job(-1).collect()  # warm codegen outside the measured window
+walls = []
+for i in range({repeat}):
+    q = job(i)  # per-run literal suffix -> fresh lineage, no stage reuse
+    t0 = time.perf_counter(); q.collect(); walls.append(time.perf_counter() - t0)
+import statistics
+med = statistics.median(walls)
+print(json.dumps({{"cpus": {cpus}, "n": n_docs, "walls": [round(w,2) for w in walls],
+                   "median_sec": round(med, 2),
+                   "throughput": round(n_docs / med, 1)}}))
+spark.stop()
+"""
+
+
 def run_one(n: int, cpus: int, repeat: int) -> dict:
     code = CHILD.format(repo=REPO, n=n, cpus=cpus, repeat=repeat)
+    return _run_child(code, cpus)
+
+
+def run_one_docs(rep: int, cpus: int, repeat: int) -> dict:
+    code = CHILD_DOCS.format(repo=REPO, rep=rep, cpus=cpus, repeat=repeat)
+    return _run_child(code, cpus)
+
+
+def _run_child(code: str, cpus: int) -> dict:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600, cwd=REPO)
     for ln in out.stdout.splitlines():
@@ -90,9 +142,32 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3_000_000)
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--doc-rep", type=int, default=600,
+                    help="documents replication factor for the vocab job "
+                         "(sf0.01 x600 = 3M docs; keep walls well above "
+                         "fixed job overhead or efficiency is meaningless)")
+    ap.add_argument("--reuse", type=str, default=None,
+                    help="path to a prior summary JSON: reuse its primary-job "
+                         "levels instead of re-running the 25-min parse DAG")
+    ap.add_argument("--reuse-docs", type=str, default=None,
+                    help="path to a prior summary JSON: reuse its vocab_job "
+                         "levels instead of re-running the docs job")
     args = ap.parse_args()
 
-    res = {c: run_one(args.n, c, args.repeat) for c in (2, 8, 32)}
+    if args.reuse:
+        prior = json.load(open(args.reuse))
+        res = {int(k): v for k, v in prior["levels"].items()}
+        args.n = res[2]["n"]
+    else:
+        res = {c: run_one(args.n, c, args.repeat) for c in (2, 8, 32)}
+    if args.reuse_docs:
+        prior_d = json.load(open(args.reuse_docs))
+        dres = {int(k): v for k, v in prior_d["vocab_job"]["levels"].items()}
+    else:
+        dres = {c: run_one_docs(args.doc_rep, c, args.repeat)
+                for c in (2, 8, 32)}
+    deff_2_8 = (dres[8]["throughput"] / dres[2]["throughput"]) / 4
+    deff_8_32 = (dres[32]["throughput"] / dres[8]["throughput"]) / 4
     eff_2_8 = (res[8]["throughput"] / res[2]["throughput"]) / 4
     eff_8_32 = (res[32]["throughput"] / res[8]["throughput"]) / 4
     summary = {
@@ -103,12 +178,20 @@ def main() -> None:
         "efficiency_8_to_32": round(eff_8_32, 3),
         "criterion": ">= 0.8 (N -> 4N)",
         "pass_primary": eff_2_8 >= 0.8,
+        "vocab_job": {
+            "levels": dres,
+            "efficiency_2_to_8": round(deff_2_8, 3),
+            "efficiency_8_to_32": round(deff_8_32, 3),
+        },
     }
     print(json.dumps(summary))
 
     rows = "\n".join(
         f"| local[{c}] | {res[c]['median_sec']} | {res[c]['throughput']:,.0f} | "
         f"{res[c]['walls']} |" for c in (2, 8, 32))
+    drows = "\n".join(
+        f"| local[{c}] | {dres[c]['median_sec']} | {dres[c]['throughput']:,.0f} | "
+        f"{dres[c]['walls']} |" for c in (2, 8, 32))
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — throughput + scaling evidence
 
@@ -141,6 +224,22 @@ loops; one exchange; partial aggregation map-side) — see PLANS.md.
 Sink-write throughput is measured in bench.py (BENCH_r*.json); a
 single-box write benchmarks the local filesystem, not the fan-out (each
 route's files are written by independent tasks on a cluster).
+
+## Second job shape: tokenizer statistics (vocab -> BPE pair top-k)
+
+Different shuffle profile from the parse DAG — explode-heavy and
+string-heavy: documents x{args.doc_rep} replicas -> word explode ->
+partial/final count (corpus collapses to vocabulary scale at the FIRST
+partial aggregate) -> char-pair explode over distinct words ->
+partial/final sum -> TakeOrderedAndProject.  Two exchanges; the second
+runs at vocab scale.  n={dres[2]['n']:,} docs.
+
+| parallelism | median wall (s) | docs/s | all walls |
+|---|---|---|---|
+{drows}
+
+local[2] -> local[8] efficiency = {deff_2_8:.3f};
+local[8] -> local[32] = {deff_8_32:.3f} (same host caveat as above).
 """)
 
 
