@@ -623,7 +623,7 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (Catalyst does not CSE repeated split copies — repetition_stats)
         .select("doc_id", "lang", "text",
                 curation.word_tokens(F.col("text")).alias("toks"))
-        .filter(curation._dup_frac(F.col("toks")) <= _MAX_DUP_WORD)
+        .filter(curation.dup_frac(F.col("toks")) <= _MAX_DUP_WORD)
         .filter(textstats.quality_score(F.col("text"), n_tok) >= _MIN_QUALITY)
         .filter(keep)
         .groupBy("lang")

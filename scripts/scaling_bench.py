@@ -142,10 +142,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3_000_000)
     ap.add_argument("--repeat", type=int, default=3)
-    ap.add_argument("--doc-rep", type=int, default=600,
+    ap.add_argument("--doc-rep", type=int, default=12000,
                     help="documents replication factor for the vocab job "
-                         "(sf0.01 x600 = 3M docs; keep walls well above "
-                         "fixed job overhead or efficiency is meaningless)")
+                         "(sf0.01 has 500 docs; x12000 = 6M docs — keep walls "
+                         "well above fixed job overhead or efficiency is "
+                         "meaningless: 300k docs measured a bogus 0.40)")
     ap.add_argument("--reuse", type=str, default=None,
                     help="path to a prior summary JSON: reuse its primary-job "
                          "levels instead of re-running the 25-min parse DAG")
@@ -163,7 +164,9 @@ def main() -> None:
     if args.reuse_docs:
         prior_d = json.load(open(args.reuse_docs))
         dres = {int(k): v for k, v in prior_d["vocab_job"]["levels"].items()}
+        args.doc_rep = prior_d["vocab_job"].get("doc_rep", args.doc_rep)
     else:
+        args.doc_rep = max(1, args.doc_rep)
         dres = {c: run_one_docs(args.doc_rep, c, args.repeat)
                 for c in (2, 8, 32)}
     deff_2_8 = (dres[8]["throughput"] / dres[2]["throughput"]) / 4
@@ -179,6 +182,7 @@ def main() -> None:
         "criterion": ">= 0.8 (N -> 4N)",
         "pass_primary": eff_2_8 >= 0.8,
         "vocab_job": {
+            "doc_rep": args.doc_rep,
             "levels": dres,
             "efficiency_2_to_8": round(deff_2_8, 3),
             "efficiency_8_to_32": round(deff_8_32, 3),

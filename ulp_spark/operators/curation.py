@@ -92,6 +92,13 @@ def _dup_frac_sql(grams: str) -> str:
             f"/ len({grams}), {ROUND}) END")
 
 
+def dup_frac(grams: Column) -> Column:
+    """Public staged-form building block: duplicate-occurrence fraction
+    over an ALREADY-STAGED token/gram array column (see repetition_stats
+    for why callers should stage the array once)."""
+    return _dup_frac(grams)
+
+
 def repetition_signals(text: Column) -> dict[str, Column]:
     """Duplicate-n-gram fractions a-la Gopher quality filtering
     (Rae et al. 2021, arXiv:2112.11446 §A1.1): repeated word / 2-gram /

@@ -438,6 +438,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # With pointer jumping, max_iter=25 covers diameter ~2^25; hitting
+        # this means the labeling is NOT the transitive min — fail loudly
+        # rather than silently under-merging dedup groups.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
     return labels.select(F.col("n").alias("id"), F.col("comp").alias("comp_id"))
 
 
