@@ -107,6 +107,9 @@ def main() -> None:
     red, _counts = curation.redact(F.col("text"))
     ctimed("pii_redact", lambda: big.select(
         F.sum(F.length(red))).collect())
+    from ulp_spark.operators import vocab  # noqa: E402
+    ctimed("bpe_top_merges", lambda: vocab.bpe_top_merges(
+        big, "text", k=20).collect())
     cur_total = round(sum(cur.values()), 3)
 
     total = round(sum(v for k, v in timings.items() if k != "warmup"), 3)

@@ -287,3 +287,34 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect()
                  if r.user_id != 99)
     assert got == exp
+
+
+def test_streaming_vocab_counts_match_batch(spark, tmp_path):
+    """Streaming word counts (complete mode, checkpointed state carried
+    across two availableNow rounds) equal the batch vocabulary over the
+    same files — vocab.word_counts works unchanged on a stream."""
+    from ulp_spark.operators import vocab
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("append").parquet(src)
+
+    def run(name):
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(src)
+        q = (vocab.word_counts(stream, "text")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write([(1, "the cat sat"), (2, "The cat")])
+    run("vocab_r1")
+    write([(3, "a cat ran"), (4, "the end")])
+    run("vocab_r2")
+    got = {r.word: r.n for r in spark.sql("SELECT * FROM vocab_r2").collect()}
+    exp = {r.word: r.n
+           for r in vocab.word_counts(spark.read.parquet(src), "text").collect()}
+    assert got == exp and got["the"] == 3 and got["cat"] == 3
