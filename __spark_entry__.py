@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ulp_spark import fixtures
 from ulp_spark.functions import casts, sanitize, sniff
 from ulp_spark.operators import dedup, lattice, multimodal, parse, similarity, textstats
+from ulp_spark.operators import profiling as _profiling
 from ulp_spark.operators import vocab as _vocab
 from ulp_spark.plans import pipeline
 
@@ -309,6 +310,17 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+def _q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column census (rows/nulls/distinct/min/max) — the
+    data-quality pass before a mapping DDL commit. Exact count_distinct
+    (Expand plan) so the oracle gates values; approx_count_distinct is
+    the documented 100-TB swap."""
+    from ulp_spark.operators import profiling
+
+    return profiling.profile_table(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"])
 
 
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_shipping_priority": _q_orders_shipping_priority,
         "vocab_topk": _q_vocab_topk,
         "bpe_top_merges": _q_bpe_top_merges,
+        "doc_profile": _q_doc_profile,
         "emb_topk_cosine": _q_emb_topk,
         "emb_srp_buckets": _q_emb_srp_buckets,
         "text_langid": _q_text_langid,
@@ -921,6 +934,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_groups": dedup.connected_components_sql(
             dedup.minhash_candidates_sql("documents", "text", "doc_id"),
             id_alias="doc_id"),
+        "doc_profile": _profiling.profile_table_sql(
+            "documents", ["doc_id", "lang", "source", "n_chars"]),
         "vocab_topk": _vocab.vocab_topk_sql("documents", "text", k=50),
         "bpe_top_merges": _vocab.bpe_top_merges_sql("documents", "text", k=20),
         "orders_shipping_priority": """

@@ -493,3 +493,23 @@ def test_bpe_pair_counts_occurrences_and_weights(spark):
         "SELECT pair, n FROM (" + vocab.bpe_pair_counts_sql("d", "text") + ")"
     ).fetchall())
     assert got == want
+
+
+def test_profile_table_null_handling(spark):
+    from ulp_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, v string")
+    got = {r.col_name: r for r in
+           profiling.profile_table(df, ["k", "v"]).collect()}
+    assert (got["k"].n_rows, got["k"].n_nulls, got["k"].n_distinct) == (4, 1, 3)
+    assert (got["v"].n_nulls, got["v"].n_distinct) == (1, 2)
+    assert got["v"].min_val == "a" and got["v"].max_val == "b"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT * FROM (VALUES (1,'a'), (2,NULL), "
+                "(3,'a'), (NULL,'b')) x(k, v)")
+    want = {r[0]: r for r in
+            con.sql(profiling.profile_table_sql("t", ["k", "v"])).fetchall()}
+    for c in ("k", "v"):
+        assert tuple(got[c]) == want[c]

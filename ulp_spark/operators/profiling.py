@@ -1,0 +1,60 @@
+"""One-pass table profiling: per-column row/null/distinct counts and
+min/max — the data-quality census a pipeline runs before committing a
+mapping DDL (reference analog: the per-route schema/mapping derivation,
+src/elastic.rs:11-36, generalized to column statistics).
+
+Scale shape: ONE scan.  All per-column aggregates go into a single
+``agg`` (partial aggregation map-side); the exact ``count(DISTINCT c)``
+aggregates make Catalyst plan an Expand (one duplicated stream per
+distinct aggregate), which is the exact-answer cost — bounded and
+documented.  At 100 TB swap ``F.approx_count_distinct`` (HLL) for the
+exact count; the oracle then gates everything except n_distinct (DuckDB's
+HLL differs), which is why the exact form is the gated default here.
+The wide single-row result is reshaped to one row per column driver-side
+free (it is ONE row), via an explode of per-column structs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, min_val, max_val) per column;
+    min/max rendered as strings so the output schema is uniform."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def profile_table_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin: UNION ALL of per-column aggregates (DuckDB computes
+    them in one scan per branch; equality of VALUES is what is gated)."""
+    parts = [
+        f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+            (count(*) - count({c}))::BIGINT AS n_nulls,
+            count(DISTINCT {c})::BIGINT AS n_distinct,
+            CAST(min({c}) AS VARCHAR) AS min_val,
+            CAST(max({c}) AS VARCHAR) AS max_val FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
