@@ -312,6 +312,28 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join WITHOUT a nested loop: every 20th event
+    opens a 5-minute interval; all events are bin-bucketized (exact
+    epoch-micros floor division) and equi-joined on the bin key, then the
+    exact predicate re-checked. Oracle is DuckDB's plain inequality
+    join."""
+    from ulp_spark.operators import ranges
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(F.col("event_id").alias("p_id"),
+                    F.col("ts").alias("p_ts"))
+    iv = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("iv_end"))
+    j = ranges.range_join(pts, iv, "p_ts", "iv_start", "iv_end",
+                          bin_width_s=300)
+    return j.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("p_id").cast("bigint").alias("sum_p_id"))
+
+
 def _q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column census (rows/nulls/distinct/min/max) — the
     data-quality pass before a mapping DDL commit. Exact count_distinct
@@ -666,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "bpe_top_merges": _q_bpe_top_merges,
         "doc_profile": _q_doc_profile,
+        "events_range_join": _q_events_range_join,
         "emb_topk_cosine": _q_emb_topk,
         "emb_srp_buckets": _q_emb_srp_buckets,
         "text_langid": _q_text_langid,
@@ -934,6 +957,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_groups": dedup.connected_components_sql(
             dedup.minhash_candidates_sql("documents", "text", "doc_id"),
             id_alias="doc_id"),
+        "events_range_join": """
+            WITH pts AS (SELECT event_id AS p_id, ts AS p_ts FROM events),
+            iv AS (
+              SELECT event_id AS iv_id, ts AS iv_start,
+                     ts + INTERVAL 5 MINUTE AS iv_end
+              FROM events WHERE event_id % 20 = 0
+            )
+            SELECT iv_id, count(*)::BIGINT AS n_points,
+                   sum(p_id)::BIGINT AS sum_p_id
+            FROM iv JOIN pts ON p_ts >= iv_start AND p_ts < iv_end
+            GROUP BY iv_id
+        """,
         "doc_profile": _profiling.profile_table_sql(
             "documents", ["doc_id", "lang", "source", "n_chars"]),
         "vocab_topk": _vocab.vocab_topk_sql("documents", "text", k=50),

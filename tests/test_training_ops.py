@@ -513,3 +513,44 @@ def test_profile_table_null_handling(spark):
             con.sql(profiling.profile_table_sql("t", ["k", "v"])).fetchall()}
     for c in ("k", "v"):
         assert tuple(got[c]) == want[c]
+
+
+def test_range_join_boundaries_and_bins(spark):
+    """start-inclusive / end-exclusive, intervals spanning multiple bins,
+    inverted intervals, and pairs meeting in exactly one bin (no dupes);
+    matched against DuckDB's plain inequality join."""
+    from ulp_spark.operators import ranges
+
+    pts = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{m:02d}:{s:02d}")
+         for i, (m, s) in enumerate([(0, 0), (4, 59), (5, 0), (9, 59),
+                                     (10, 0), (59, 59)])],
+        "p_id long, p_ts string").select(
+            "p_id", F.col("p_ts").cast("timestamp_ntz").alias("p_ts"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 00:05:00"),   # [0, 5min)
+         (101, "2024-01-01 00:04:59", "2024-01-01 00:10:00"),   # spans bins
+         (102, "2024-01-01 00:10:00", "2024-01-01 00:10:00"),   # empty
+         (103, "2024-01-01 00:10:00", "2024-01-01 00:09:00")],  # inverted
+        "iv_id long, s string, e string").select(
+            "iv_id", F.col("s").cast("timestamp_ntz").alias("iv_start"),
+            F.col("e").cast("timestamp_ntz").alias("iv_end"))
+    got = sorted((r.p_id, r.iv_id) for r in ranges.range_join(
+        pts, iv, "p_ts", "iv_start", "iv_end", bin_width_s=300).collect())
+    want_pairs = duckdb.sql("""
+        WITH pts(p_id, p_ts) AS (VALUES
+          (0, TIMESTAMP '2024-01-01 00:00:00'),
+          (1, TIMESTAMP '2024-01-01 00:04:59'),
+          (2, TIMESTAMP '2024-01-01 00:05:00'),
+          (3, TIMESTAMP '2024-01-01 00:09:59'),
+          (4, TIMESTAMP '2024-01-01 00:10:00'),
+          (5, TIMESTAMP '2024-01-01 00:59:59')),
+        iv(iv_id, s, e) AS (VALUES
+          (100, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:05:00'),
+          (101, TIMESTAMP '2024-01-01 00:04:59', TIMESTAMP '2024-01-01 00:10:00'),
+          (102, TIMESTAMP '2024-01-01 00:10:00', TIMESTAMP '2024-01-01 00:10:00'),
+          (103, TIMESTAMP '2024-01-01 00:10:00', TIMESTAMP '2024-01-01 00:09:00'))
+        SELECT p_id, iv_id FROM pts JOIN iv ON p_ts >= s AND p_ts < e
+    """).fetchall()
+    assert got == sorted(want_pairs)
+    assert len(got) == len(set(got))  # one row per matching pair
