@@ -54,3 +54,29 @@ def salted_agg(
     )
     finals = [getattr(F, fn)(n).alias(n) for n, _, fn in aggs]
     return partial.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, keys: list[str],
+    salt_buckets: int = 16, how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot key on the big side fans out over
+    ``salt_buckets`` reduce tasks instead of one.
+
+    The big side gets a deterministic per-row salt (xxhash64 of the whole
+    row, mod S); the small side is replicated S ways (explode of a
+    0..S-1 sequence); the join runs on (keys + salt).  Shuffle volume
+    grows by |small| x (S - 1) — cheap when small is dimension-sized but
+    too big to broadcast.  Use when AQE's skew-join can't kick in (e.g.
+    the join is forced to shuffled-hash, or salting must compose with a
+    downstream same-key aggregation).  Results are row-identical to the
+    plain join (pytest-pinned).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                  F.lit(salt_buckets))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, [*keys, "__salt"], how).drop("__salt")
