@@ -338,3 +338,44 @@ def test_salted_join_matches_plain(spark):
         want = sorted((tuple(r) for r in
                        big.join(small, ["k"], how).collect()), key=key)
         assert got == want, how
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed count with a 10-minute watermark: a row
+    arriving in a later micro-batch but timestamped far before the
+    advanced watermark is DROPPED (its window already closed and was
+    emitted); an on-time row for an open window still lands."""
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+
+    def write(rows):
+        spark.createDataFrame(rows, "event_id long, off long") \
+            .select("event_id",
+                    (F.lit("2024-01-01 00:00:00").cast("timestamp")
+                     + F.make_interval(secs=F.col("off"))).alias("ts")) \
+            .write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("event_id long, ts timestamp") \
+            .parquet(src)
+        agg = (stream.withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "5 minutes").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("w.start").alias("w_start"), "n"))
+        q = (agg.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: two rows in window [0,5m) + a row at t=60m that advances
+    # the watermark to 50m, closing (and emitting) the [0,5m) window.
+    write([(1, 0), (2, 60), (3, 3600)])
+    run()
+    # batch 2: a LATE row for the closed [0,5m) window (must be dropped)
+    # and an on-time row near the frontier (window still open, held in
+    # state, not yet emitted in append mode).
+    write([(4, 120), (5, 3660)])
+    run()
+    got = {r.w_start.strftime("%H:%M"): r.n
+           for r in spark.read.parquet(sink).collect()}
+    assert got.get("00:00") == 2          # late row 4 did NOT bump it
+    assert "01:00" not in got or got["01:00"] == 1  # frontier window
