@@ -554,3 +554,14 @@ def test_range_join_boundaries_and_bins(spark):
     """).fetchall()
     assert got == sorted(want_pairs)
     assert len(got) == len(set(got))  # one row per matching pair
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from ulp_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
