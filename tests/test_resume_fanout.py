@@ -378,4 +378,6 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     got = {r.w_start.strftime("%H:%M"): r.n
            for r in spark.read.parquet(sink).collect()}
     assert got.get("00:00") == 2          # late row 4 did NOT bump it
-    assert "01:00" not in got or got["01:00"] == 1  # frontier window
+    # frontier window [60m, 65m): usually still held in state; if an
+    # engine change ever emits it, it must hold BOTH frontier rows.
+    assert got.get("01:00") in (None, 2)

@@ -565,3 +565,74 @@ def test_connected_components_raises_without_convergence(spark):
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1)
+
+
+def test_range_join_instant_timestamps_across_dst_fold(spark):
+    """TIMESTAMP (instant) inputs must go through unix_micros: casting to
+    NTZ reads the session wall clock, which repeats itself across a DST
+    fall-back and made an interval spanning the fold look inverted
+    (silently dropping the match)."""
+    from datetime import datetime, timezone
+
+    from ulp_spark.operators import ranges
+
+    us = lambda *a: int(datetime(*a, tzinfo=timezone.utc).timestamp() * 1e6)  # noqa: E731
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        pts = spark.createDataFrame(
+            [(1, us(2024, 11, 3, 5, 59))], "p_id long, m long"
+        ).select("p_id", F.timestamp_micros("m").alias("p_ts"))
+        iv = spark.createDataFrame(
+            [(9, us(2024, 11, 3, 5, 58), us(2024, 11, 3, 6, 3))],
+            "iv_id long, s long, e long"
+        ).select("iv_id", F.timestamp_micros("s").alias("iv_start"),
+                 F.timestamp_micros("e").alias("iv_end"))
+        got = ranges.range_join(pts, iv, "p_ts", "iv_start", "iv_end",
+                                bin_width_s=300).collect()
+        assert [(r.p_id, r.iv_id) for r in got] == [(1, 9)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_range_join_rejects_mixed_timestamp_types(spark):
+    import pytest as _pytest
+
+    from ulp_spark.operators import ranges
+
+    pts = spark.createDataFrame([(1, 0)], "p_id long, m long").select(
+        "p_id", F.timestamp_micros("m").alias("p_ts"))
+    iv = spark.createDataFrame([(9, "2024-01-01 00:00:00",
+                                 "2024-01-01 01:00:00")],
+                               "iv_id long, s string, e string").select(
+        "iv_id", F.col("s").cast("timestamp_ntz").alias("iv_start"),
+        F.col("e").cast("timestamp_ntz").alias("iv_end"))
+    with _pytest.raises(ValueError, match="one timestamp type"):
+        ranges.range_join(pts, iv, "p_ts", "iv_start", "iv_end")
+
+
+def test_profile_table_double_rendering_matches_duckdb(spark):
+    from ulp_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, 0.0001), (2, 123456789.5), (3, None)], "k long, v double")
+    got = {r.col_name: tuple(r) for r in
+           profiling.profile_table(df, ["k", "v"]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT * FROM (VALUES (1, 0.0001), "
+                "(2, 123456789.5), (3, NULL::DOUBLE)) x(k, v)")
+    want = {r[0]: r for r in con.sql(profiling.profile_table_sql(
+        "t", ["k", "v"], float_cols={"v"})).fetchall()}
+    for c in ("k", "v"):
+        assert got[c] == want[c], (c, got[c], want[c])
+
+
+def test_salted_join_rejects_outer_types(spark):
+    import pytest as _pytest
+
+    from ulp_spark.operators import agg as _agg
+
+    big = spark.createDataFrame([(1, "a")], "id long, k string")
+    small = spark.createDataFrame([("a", 1)], "k string, dim long")
+    with _pytest.raises(ValueError, match="inner/left only"):
+        _agg.salted_join(big, small, ["k"], 4, "full")

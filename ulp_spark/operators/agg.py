@@ -24,6 +24,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, buckets: int,
+              salt_on: Column | None = None) -> Column:
+    """Deterministic per-row salt in [0, buckets): caller-supplied column
+    hash, else xxhash64 of the whole row (pass ``salt_on`` when the row
+    contains unhashable types like MapType)."""
+    base = (salt_on if salt_on is not None
+            else F.xxhash64(*[F.col(c) for c in df.columns]))
+    return F.pmod(base, F.lit(buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -42,11 +52,7 @@ def salted_agg(
             ("max_tok", F.max("n_tok"), "max"),
         ])
     """
-    salt = (
-        F.pmod(salt_on, F.lit(salt_buckets))
-        if salt_on is not None
-        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
-    )
+    salt = _row_salt(df, salt_buckets, salt_on)
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -59,6 +65,7 @@ def salted_agg(
 def salted_join(
     big: DataFrame, small: DataFrame, keys: list[str],
     salt_buckets: int = 16, how: str = "inner",
+    salt_on: Column | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: a hot key on the big side fans out over
     ``salt_buckets`` reduce tasks instead of one.
@@ -72,9 +79,11 @@ def salted_join(
     downstream same-key aggregation).  Results are row-identical to the
     plain join (pytest-pinned).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
-                  F.lit(salt_buckets))
-    b = big.withColumn("__salt", salt)
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        # right/full/outer would keep each unmatched SMALL replica as its
+        # own null-extended row — S duplicates — so reject loudly.
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
+    b = big.withColumn("__salt", _row_salt(big, salt_buckets, salt_on))
     s = small.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

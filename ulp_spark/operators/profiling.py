@@ -20,16 +20,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+FLOAT_TYPES = {"float", "double"}
+
+
+def _render(col: Column, is_float: bool) -> Column:
+    # Float/double render differently across engines (Spark scientific
+    # notation vs DuckDB decimal), so floating min/max round-trip through
+    # decimal(38,6) — a documented precision bound; values outside the
+    # decimal range render NULL (try_cast) rather than erroring under
+    # ANSI.  Everything else casts to string directly (identical on both
+    # engines for int/bigint/varchar/date/timestamp_ntz).
+    if is_float:
+        return col.try_cast("decimal(38,6)").cast("string")
+    return col.cast("string")
+
+
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_val, max_val) per column;
     min/max rendered as strings so the output schema is uniform."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
+        is_f = df.schema[c].dataType.typeName() in FLOAT_TYPES
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
             F.count_distinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            _render(F.min(F.col(c)), is_f).alias(f"{c}__min"),
+            _render(F.max(F.col(c)), is_f).alias(f"{c}__max"),
         ]
     one = df.agg(*aggs)
     structs = [
@@ -46,15 +62,24 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
-def profile_table_sql(table: str, cols: list[str]) -> str:
+def profile_table_sql(table: str, cols: list[str],
+                      float_cols: set[str] | frozenset[str] = frozenset(),
+                      ) -> str:
     """DuckDB twin: UNION ALL of per-column aggregates (DuckDB computes
-    them in one scan per branch; equality of VALUES is what is gated)."""
+    them in one scan per branch; equality of VALUES is what is gated).
+    Pass the float/double column names in ``float_cols`` to get the same
+    decimal(38,6) min/max rendering as :func:`profile_table`."""
+    def render(expr: str, c: str) -> str:
+        if c in float_cols:
+            return f"CAST(TRY_CAST({expr} AS DECIMAL(38,6)) AS VARCHAR)"
+        return f"CAST({expr} AS VARCHAR)"
+
     parts = [
         f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
             (count(*) - count({c}))::BIGINT AS n_nulls,
             count(DISTINCT {c})::BIGINT AS n_distinct,
-            CAST(min({c}) AS VARCHAR) AS min_val,
-            CAST(max({c}) AS VARCHAR) AS max_val FROM {table}"""
+            {render(f'min({c})', c)} AS min_val,
+            {render(f'max({c})', c)} AS max_val FROM {table}"""
         for c in cols
     ]
     return " UNION ALL ".join(parts)

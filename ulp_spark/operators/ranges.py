@@ -22,13 +22,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _us(ts: Column) -> Column:
-    """Epoch micros for TIMESTAMP or TIMESTAMP_NTZ (unix_micros rejects
-    NTZ; timestamp_diff from the NTZ epoch works for both and matches
-    DuckDB's epoch_us on naive timestamps)."""
+def _us(df: DataFrame, col: str) -> Column:
+    """Epoch micros, TYPE-AWARE.  TIMESTAMP (instant) goes through
+    unix_micros — casting an instant to NTZ first would read the
+    session-local WALL CLOCK, which is non-monotonic across a DST
+    fall-back (an interval spanning the fold would look inverted and
+    silently drop matches).  TIMESTAMP_NTZ (which unix_micros rejects)
+    uses the NTZ-epoch diff, matching DuckDB's epoch_us on naive
+    timestamps."""
+    dt = df.schema[col].dataType.typeName()
+    if dt == "timestamp":
+        return F.unix_micros(F.col(col))
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     return F.timestamp_diff("MICROSECOND", epoch,
-                            ts.cast("timestamp_ntz"))
+                            F.col(col).cast("timestamp_ntz"))
 
 
 def range_join(
@@ -43,16 +50,26 @@ def range_join(
     than the width explode to proportionally more bin rows (cost is
     linear, correctness unaffected).
     """
+    types = {points.schema[point_ts].dataType.typeName(),
+             intervals.schema[start_ts].dataType.typeName(),
+             intervals.schema[end_ts].dataType.typeName()}
+    if len(types) != 1:
+        raise ValueError(
+            f"range_join requires one timestamp type on all three "
+            f"columns (instant vs NTZ micros are incomparable): {types}")
     w_us = int(bin_width_s) * 1_000_000
 
     def idiv(a: Column) -> Column:
-        # exact floor division: (a - pmod) is an exact multiple of w_us,
-        # so the double division is IEEE-exact; a bare a/w (double) can
-        # round across an integer and flip the bin at a boundary.
-        return ((a - F.pmod(a, F.lit(w_us))) / F.lit(w_us)).cast("bigint")
+        # exact floor division at ALL magnitudes: (a - pmod) is an exact
+        # multiple of w_us; dividing in decimal(38,0) (not double — a
+        # double round-trips only up to 2^53 micros, ~year 2255) keeps
+        # the quotient exact, and pmod gives floor semantics for
+        # negative epochs too.
+        floored = (a - F.pmod(a, F.lit(w_us))).cast("decimal(38,0)")
+        return (floored / F.lit(w_us)).cast("bigint")
 
-    p = points.withColumn("__bin", idiv(_us(F.col(point_ts))))
-    s_us, e_us = _us(F.col(start_ts)), _us(F.col(end_ts))
+    p = points.withColumn("__bin", idiv(_us(points, point_ts)))
+    s_us, e_us = _us(intervals, start_ts), _us(intervals, end_ts)
     # interval [s, e) overlaps bins floor(s/W) .. floor((e-1)/W); empty or
     # inverted intervals (e <= s) produce no bins (sequence would run
     # DESCENDING otherwise — Spark's auto-negative-step trap).
