@@ -334,6 +334,15 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_id").cast("bigint").alias("sum_p_id"))
 
 
+def _q_doc_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency proxy: per-doc fraction of word-bigram
+    occurrences whose corpus count >= 3 (exact integer statistics in
+    place of an LM; one shuffle join against the vocab-scale bigram
+    model)."""
+    return _vocab.bigram_coverage(_docs(spark, sf_dir), "text", "doc_id",
+                                  min_count=3)
+
+
 def _q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column census (rows/nulls/distinct/min/max) — the
     data-quality pass before a mapping DDL commit. Exact count_distinct
@@ -689,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top_merges": _q_bpe_top_merges,
         "doc_profile": _q_doc_profile,
         "events_range_join": _q_events_range_join,
+        "doc_bigram_coverage": _q_doc_bigram_coverage,
         "emb_topk_cosine": _q_emb_topk,
         "emb_srp_buckets": _q_emb_srp_buckets,
         "text_langid": _q_text_langid,
@@ -972,6 +982,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_profile": _profiling.profile_table_sql(
             "documents", ["doc_id", "lang", "source", "n_chars"]),
         "vocab_topk": _vocab.vocab_topk_sql("documents", "text", k=50),
+        "doc_bigram_coverage": _vocab.bigram_coverage_sql(
+            "documents", "text", "doc_id", min_count=3),
         "bpe_top_merges": _vocab.bpe_top_merges_sql("documents", "text", k=20),
         "orders_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

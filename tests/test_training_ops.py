@@ -636,3 +636,29 @@ def test_salted_join_rejects_outer_types(spark):
     small = spark.createDataFrame([("a", 1)], "k string, dim long")
     with _pytest.raises(ValueError, match="inner/left only"):
         _agg.salted_join(big, small, ["k"], 4, "full")
+
+
+def test_bigram_coverage_edges_and_duckdb(spark):
+    """Short docs keep a (0, 0, 0.0) row; common bigrams counted per
+    OCCURRENCE; matches the DuckDB twin."""
+    from ulp_spark.operators import vocab
+
+    rows = [(1, "the cat sat on the cat mat"), (2, "the cat sat again"),
+            (3, "solo"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.n_common, r.common_frac)
+           for r in vocab.bigram_coverage(df, "text", "doc_id",
+                                          min_count=2).collect()}
+    assert got[3] == (0, 0, 0.0) and got[4] == (0, 0, 0.0)
+    # doc 1: bigrams [the cat, cat sat, sat on, on the, the cat, cat mat]
+    # counts: "the cat" x3 (2 here + 1 in doc 2), "cat sat" x2 -> common
+    # occurrences in doc 1 = 2 ("the cat") + 1 ("cat sat") = 3 of 6
+    assert got[1] == (6, 3, 0.5)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW d AS SELECT * FROM (VALUES "
+                "(1, 'the cat sat on the cat mat'), (2, 'the cat sat again'), "
+                "(3, 'solo'), (4, '')) t(doc_id, text)")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(
+        vocab.bigram_coverage_sql("d", "text", "doc_id", min_count=2)
+    ).fetchall()}
+    assert got == want
