@@ -334,6 +334,42 @@ def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_id").cast("bigint").alias("sum_p_id"))
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: region->nation->customer/supplier
+    dims broadcast (KiB-sized), two big-table shuffle joins
+    (orders-lineitem on the order key, then the supplier probe), revenue
+    only where the supplier and customer share a nation. Decimal
+    accumulation, rounded-double emission."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    nat = (rd("nation").join(
+        F.broadcast(rd("region").filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    cust = rd("customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")) \
+        .select("c_custkey", F.col("n_nationkey").alias("c_nat"), "n_name")
+    supp = rd("supplier").select("s_suppkey",
+                                 F.col("s_nationkey").alias("s_nat"))
+    orders = (rd("orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01")))
+              .select("o_orderkey", "o_custkey"))
+    li = rd("lineitem").select("l_orderkey", "l_suppkey",
+                               "l_extendedprice", "l_discount")
+    d = lambda name: F.col(name).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nat") == F.col("c_nat")))
+        .groupBy("n_name")
+        .agg(F.round(
+            F.sum((d("l_extendedprice")
+                   * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+                  .cast("decimal(28,4)")).cast("double"), 2).alias("revenue"))
+    )
+
+
 def _q_doc_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style fluency proxy: per-doc fraction of word-bigram
     occurrences whose corpus count >= 3 (exact integer statistics in
@@ -699,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": _q_doc_profile,
         "events_range_join": _q_events_range_join,
         "doc_bigram_coverage": _q_doc_bigram_coverage,
+        "local_supplier_volume": _q_local_supplier_volume,
         "emb_topk_cosine": _q_emb_topk,
         "emb_srp_buckets": _q_emb_srp_buckets,
         "text_langid": _q_text_langid,
@@ -978,6 +1015,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(p_id)::BIGINT AS sum_p_id
             FROM iv JOIN pts ON p_ts >= iv_start AND p_ts < iv_end
             GROUP BY iv_id
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4)))::DOUBLE, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
         """,
         "doc_profile": _profiling.profile_table_sql(
             "documents", ["doc_id", "lang", "source", "n_chars"]),
