@@ -711,7 +711,33 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Queries retired from the driver gate (it caps at 50 rows; round 2 left 5
+# queries without verdicts).  Each retired query is subsumed by a stronger
+# sibling that stays gated, and remains pytest-gated against its DuckDB
+# oracle via tests/test_entry_parity.py (which covers active + retired):
+#   doc_minhash            -> doc_minhash_candidates (same signature exprs)
+#   doc_simhash (16-bit)   -> doc_simhash_candidates (64-bit + Hamming verify)
+#   emb_srp_buckets        -> emb_bucket_pairs (same SRP signature, + pairs)
+#   emb_ivf_cells          -> emb_ivf_cells_trained (seed assign is its CTE)
+#   events_session_windows -> events_sessions (equality pinned in pytest)
+_RETIRED = frozenset({
+    "doc_minhash",
+    "doc_simhash",
+    "emb_srp_buckets",
+    "emb_ivf_cells",
+    "events_session_windows",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v for k, v in _all_queries().items() if k not in _RETIRED}
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v for k, v in _all_queries().items() if k in _RETIRED}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_counts": _q_route_counts,
         "pipeline_parse_fields": _q_parse_fields,
@@ -873,6 +899,14 @@ def _nested_schema_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k not in _RETIRED}
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k in _RETIRED}
+
+
+def _all_oracle_sql() -> dict[str, str]:
     px = parse.parse_sql("line")
     provider_expr = "provider"
     fields = parse.all_fields(parse.DEFAULT_PATTERNS)
