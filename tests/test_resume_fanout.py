@@ -230,6 +230,83 @@ def test_stateful_stream_dedup_bloom(spark, tmp_path):
     assert sorted(r.doc_id for r in rows) == ["d1", "d2", "d3"]
 
 
+def test_stateful_bloom_state_stays_bounded(spark, tmp_path):
+    """The 100-TB streaming claim: Bloom state is FIXED-SIZE per bucket no
+    matter how many ids stream through.  Four availableNow rounds, each
+    replaying every earlier id plus 1000 new ones.  Proof points:
+    (a) no id is ever emitted twice across all rounds;
+    (b) suppression holds for ids from ANY earlier round, not just the
+        previous one;
+    (c) byte-measured from the checkpoint: every round's state delta stays
+        under the FIXED uncompressed ceiling n_buckets x m_bits/8 no matter
+        how many ids have streamed (deltas are compressed, and fuller
+        bitsets compress worse, so early deltas are smaller — the ceiling,
+        not a round-over-round byte ratio, is the invariant);
+    (d) a replay-only round (no new ids) emits nothing and rewrites a
+        byte-identical-size state — stream length alone never grows state.
+    """
+    import os
+
+    from ulp_spark.streaming import stateful
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    m_bits = 1 << 14
+
+    def batch_ids(r):
+        return [f"d{r}_{i}" for i in range(1000)]
+
+    def delta_bytes(batch_id):
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+            for f in files:
+                if f == f"{batch_id + 1}.delta":
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def run_round(rows):
+        spark.createDataFrame(rows, "doc_id string, route string") \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id string, route string").parquet(src)
+        q = (
+            stateful.dedup_stream_bloom(stream, m_bits=m_bits)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return [x.doc_id for x in spark.read.parquet(sink).collect()]
+
+    all_sent: list[str] = []
+    emitted_per_round = []
+    for r in range(4):
+        new = batch_ids(r)
+        emitted = run_round([(d, "r") for d in all_sent + new])
+        emitted_per_round.append(set(emitted))
+        all_sent += new
+
+    final = [x.doc_id for x in spark.read.parquet(sink).collect()]
+    assert len(final) == len(set(final))          # (a) never twice
+    assert emitted_per_round[3] >= emitted_per_round[0]  # (b) cumulative
+    # at-most-once: everything emitted was sent; nearly everything sent
+    # was emitted (fp suppression must stay rare at n/m ~ 0.02)
+    assert set(final) <= set(all_sent)
+    assert len(final) >= len(all_sent) - 20
+    # (c) every round's delta stays under the fixed uncompressed ceiling
+    from ulp_spark.streaming.stateful import N_BUCKETS
+    ceiling = N_BUCKETS * (m_bits // 8) * 1.10 + 8192
+    per_round = [delta_bytes(i) for i in range(4)]
+    assert all(0 < d <= ceiling for d in per_round), (per_round, ceiling)
+    # (d) replay-only round: nothing emitted, state bytes unchanged
+    n_before = len(final)
+    final5 = run_round([(d, "r") for d in all_sent])
+    assert len(final5) == n_before
+    d4, d5 = delta_bytes(3), delta_bytes(4)
+    assert abs(d5 - d4) <= d4 * 0.02 + 1024, (d4, d5)
+
+
 def test_streaming_session_windows_match_batch(spark, tmp_path):
     """The docstring claim of sessions.session_window_stats, proven: the
     SAME groupBy runs as a stateful streaming session aggregation (stream +

@@ -662,3 +662,63 @@ def test_bigram_coverage_edges_and_duckdb(spark):
         vocab.bigram_coverage_sql("d", "text", "doc_id", min_count=2)
     ).fetchall()}
     assert got == want
+
+
+def test_ann_recall_floors(spark):
+    """Measured recall@10 of the ANN stack vs brute-force ground truth on
+    the sf0.01 embeddings (500 x 64-dim, 10 labeled clusters).  Floors sit
+    just below the deterministic measured values (ivf_p1 .45, p2 .60,
+    p4 .75, srp .15, srp_mp1 .26) so a semantic regression in signatures,
+    assignment, or top-k merging trips the test while float jitter can't.
+    Also pins the two structural facts a user relies on: recall grows
+    monotonically with n_probe, and every method beats random scanning
+    (recall >> fraction of table scanned)."""
+    from ulp_spark.operators import similarity as S
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = S.ivf_centroids_trained(df, "embedding", "vec_id", k=8, rounds=1)
+    qids = [0, 7, 23, 42, 99, 150, 211, 303, 404, 499]
+    rep = {r.method: r for r in S.ann_recall(
+        df, "embedding", "vec_id", qids, cents, dim=64, k=10,
+        n_probes=(1, 2, 4)).collect()}
+    assert rep["ivf_p1"].recall_at_k >= 0.40
+    assert rep["ivf_p2"].recall_at_k >= 0.55
+    assert rep["ivf_p4"].recall_at_k >= 0.70
+    assert rep["srp"].recall_at_k >= 0.10
+    assert rep["srp_mp1"].recall_at_k > rep["srp"].recall_at_k
+    assert (rep["ivf_p1"].recall_at_k <= rep["ivf_p2"].recall_at_k
+            <= rep["ivf_p4"].recall_at_k)
+    for r in rep.values():
+        assert r.recall_at_k > r.frac_scanned  # better than random scan
+        assert r.n_queries == len(qids)
+
+
+def test_passage_dedup_skew_paths_agree_on_degenerate_corpus(spark):
+    """Skew drill: 20k docs all sharing ONE boilerplate passage (the
+    worst-case hot key — at corpus scale this is the site chrome passage
+    shared by millions of pages).  Both physical strategies must complete
+    and agree exactly; the join path is the one whose hot key AQE can
+    split, the window path buffers it in a single partition."""
+    from ulp_spark.operators import curation
+
+    n = 20_000
+    boiler = "all your base are belong to us now and forever more ok"
+    df = (
+        spark.range(n).repartition(8)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(boiler + " unique tail "),
+                     F.col("id").cast("string"),
+                     F.lit(" word word word word word word word")
+                     ).alias("text"))
+    )
+    a = curation.passage_dup_stats(df, "text", "doc_id", via="join")
+    b = curation.passage_dup_stats(df, "text", "doc_id", via="window")
+    ra = {r.doc_id: (r.n_passages, r.n_dup_passages) for r in a.collect()}
+    rb = {r.doc_id: (r.n_passages, r.n_dup_passages) for r in b.collect()}
+    assert ra == rb
+    assert len(ra) == n
+    # every doc's first 8-word passage is the shared boilerplate
+    assert all(v[1] >= 1 for v in ra.values())
+    with pytest.raises(ValueError):
+        curation.passage_dup_stats(df, "text", "doc_id", via="nope")

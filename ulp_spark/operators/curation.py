@@ -199,21 +199,42 @@ def passage_hashes_sql(text: str, words: int = PASSAGE_WORDS) -> str:
 
 def passage_dup_stats(
     df: DataFrame, text_col: str, id_col: str, words: int = PASSAGE_WORDS,
+    via: str = "join",
 ) -> DataFrame:
     """Per-document duplicated-passage stats against the WHOLE corpus.
 
-    Plan: explode passage hashes -> window count over the hash -> re-group
-    by doc. Exactly two shuffles (hash key, then doc id), both on keys the
-    data is naturally sized by; the window avoids a third shuffle that a
-    count-then-join formulation would pay. No collect, no all-pairs — a
-    passage shared by M docs costs M rows, not M^2.
+    Two physical strategies, identical results (equality pinned on a
+    degenerate 20k-docs-one-boilerplate corpus in pytest):
+
+    * ``via="join"`` (default): explode -> groupBy(ph).count (map-side
+      partial combine collapses a hot passage to ONE row per upstream
+      partition) -> sort-merge join back on ph -> re-group by doc.  Three
+      exchanges, but the hot-key path is skew-proof twice over: the count
+      shuffle moves one row per (partition, hot key), and the M matching
+      rows of the re-join land in a sort-merge join partition AQE's
+      skew-join splitting can subdivide.
+    * ``via="window"``: count over Window.partitionBy(ph) — one fewer
+      shuffle, but a passage shared by M documents becomes ONE window
+      partition that WindowExec must sort and buffer (spilling at large
+      M); AQE cannot split a window partition.  Faster on well-behaved
+      corpora, kept for them.
+
+    No collect, no all-pairs — a passage shared by M docs costs M rows,
+    not M^2, on both paths.
     """
     exploded = df.select(
         F.col(id_col),
         F.explode(passage_hashes(F.col(text_col), words)).alias("ph"),
     )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("ph"))
-    per_passage = exploded.withColumn("ph_count", cnt)
+    if via == "window":
+        per_passage = exploded.withColumn(
+            "ph_count", F.count(F.lit(1)).over(Window.partitionBy("ph")))
+    elif via == "join":
+        cnt = exploded.groupBy("ph").agg(
+            F.count(F.lit(1)).alias("ph_count"))
+        per_passage = exploded.join(cnt, "ph")
+    else:
+        raise ValueError(f"via must be 'join' or 'window', got {via!r}")
     n_p = F.count(F.lit(1))
     n_dup = F.sum((F.col("ph_count") > 1).cast("int"))
     return per_passage.groupBy(id_col).agg(

@@ -128,7 +128,8 @@ def band_keys(mh_cols: list[Column]) -> list[Column]:
 
 
 def minhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, max_bucket: int = 1000
+    df: DataFrame, text_col: str, id_col: str, max_bucket: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from LSH bucket collisions.
 
@@ -156,6 +157,13 @@ def minhash_candidates(
             for b in range(BANDS)
         ])).alias("e"),
     ).select("id", "e.band", "e.bk")
+    if materialize:
+        # S5 seam: the band table feeds the count aggregate AND both sides
+        # of the pair self-join — without this seam the md5/shingle/minhash
+        # projection is recomputed three times (PLANS.md round-2 accepted
+        # cost, now closed).  localCheckpoint here; at cluster scale this
+        # is the parquet signature table written once per corpus snapshot.
+        bands = bands.localCheckpoint(eager=False)
     ok = (
         bands.groupBy("band", "bk")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -311,6 +319,7 @@ def simhash64_sql(table: str, text_col: str, id_col: str) -> str:
 def simhash_candidates(
     df: DataFrame, text_col: str, id_col: str,
     max_hamming: int = 3, max_bucket: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit simhash: 4x16-bit band collision candidates,
     verified with the exact Hamming distance (``bit_count(xor)``).
@@ -330,6 +339,10 @@ def simhash_candidates(
             for b, v in enumerate(band_vals)
         ])).alias("e"),
     ).select("id", "sim_lo", "sim_hi", "e.band", "e.bk")
+    if materialize:
+        # same S5 seam as minhash_candidates: one signature computation,
+        # three consumers (count agg + both self-join sides)
+        bands = bands.localCheckpoint(eager=False)
     ok = (
         bands.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))

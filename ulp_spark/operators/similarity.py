@@ -228,9 +228,179 @@ def ivf_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+# --------------------------------------------------------------------------
+# Recall evaluation — the usefulness proof for the ANN stack
+# --------------------------------------------------------------------------
+
+def _topk_per_query(scored: DataFrame, k: int, n_salt: int = 32) -> DataFrame:
+    """Per-query exact top-k over (q_id, id, cos_sim) rows, two-level:
+    salted partial top-k first (N x Q rows spread over Q x n_salt reducers),
+    then final top-k over the Q x n_salt x k survivors.  A single
+    Window.partitionBy(q_id) would funnel N x Q rows through Q reducers —
+    the distributed-heap-merge shape is what survives a 100x scale-up."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.col("id"), F.lit(n_salt))
+    w1 = Window.partitionBy("q_id", salt).orderBy(
+        F.desc("cos_sim"), F.col("id"))
+    partial = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k).drop("rn")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col("id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k).drop("rn")
+    )
+
+
+def ann_recall(
+    df: DataFrame, vec_col: str, id_col: str, query_ids: list[int],
+    centroids: list[list[float]], dim: int, k: int = 10,
+    n_probes: tuple[int, ...] = (1, 2, 4), nbits: int = NBITS,
+) -> DataFrame:
+    """Measured recall@k of each ANN variant against brute-force truth.
+
+    One batch evaluation, not a per-query loop: the Q query vectors are
+    collected (KiB) and broadcast; every variant scores candidates in a
+    single scan and reduces via the salted two-level top-k.  Returns one
+    row per method: (method, recall_at_k, n_queries, frac_scanned) where
+    frac_scanned is the mean fraction of the table each query scored —
+    the cost side of the recall/cost trade a user tunes n_probe with.
+
+    Methods: ``ivf_p{n}`` (n_probe cells by centroid cosine) and ``srp``
+    (the query's SRP bucket).  Reference analog: none (engine breadth,
+    SURVEY §2.6); this is the evidence the ANN stack is useful, not just
+    self-consistent.
+    """
+    n_total = df.count()
+    qrows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col).collect()
+    )
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+
+    def scored_for(cand: DataFrame, qs: list[tuple[int, list[float]]]
+                   ) -> DataFrame:
+        """Score candidate rows against the (broadcast) query vectors."""
+        qdf = cand.sparkSession.createDataFrame(
+            [(q_id, vec) for q_id, vec in qs], "q_id int, q_vec array<double>")
+        return (
+            cand.crossJoin(F.broadcast(qdf))
+            .select(
+                F.col("q_id"),
+                F.col(id_col).alias("id"),
+                F.round(cosine(F.col(vec_col), F.col("q_vec")), 6)
+                .alias("cos_sim"),
+            )
+        )
+
+    truth = _topk_per_query(scored_for(df, queries), k).select(
+        "q_id", F.col("id").alias("t_id"))
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return round(num / den, 6) if den > 0 else 0.0
+
+    out_frames: list[DataFrame] = []
+
+    # IVF: one cell assignment pass shared by all probe depths
+    cells = df.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign(F.col(vec_col), centroids).alias("cell"))
+    for np_ in n_probes:
+        probe_rows = []
+        for q_id, vec in queries:
+            order = sorted(range(len(centroids)),
+                           key=lambda i: (-cos_py(vec, centroids[i]), i))
+            probe_rows += [(q_id, int(c)) for c in order[:np_]]
+        pdf = df.sparkSession.createDataFrame(probe_rows, "q_id int, cell int")
+        cand = cells.join(F.broadcast(pdf), "cell")
+        scored = (
+            cand.select(
+                "q_id", F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .join(F.broadcast(df.sparkSession.createDataFrame(
+                queries, "q_id int, q_vec array<double>")), "q_id")
+            .select("q_id", "id",
+                    F.round(cosine(F.col("v"), F.col("q_vec")), 6)
+                    .alias("cos_sim"))
+        )
+        got = _topk_per_query(scored, k)
+        hits = got.join(
+            truth, (got.q_id == truth.q_id) & (got.id == truth.t_id))
+        scanned = cand.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n_scanned"))
+        out_frames.append(
+            hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+            .crossJoin(scanned.groupBy().agg(
+                F.avg("n_scanned").alias("avg_scanned")))
+            .select(
+                F.lit(f"ivf_p{np_}").alias("method"),
+                F.round(F.col("n_hits") / (len(queries) * k), 4)
+                .alias("recall_at_k"),
+                F.lit(len(queries)).alias("n_queries"),
+                F.round(F.col("avg_scanned") / n_total, 4)
+                .alias("frac_scanned"),
+            ))
+
+    # SRP: exact query bucket ("srp") and multi-probe — all buckets within
+    # Hamming 1 of the query signature ("srp_mp1"), the standard trick for
+    # pulling recall up without widening the table-side bucket key.
+    sig = df.select(
+        F.col(id_col), F.col(vec_col),
+        srp_signature(F.col(vec_col), dim, nbits).alias("bucket"))
+    qsigs: list[tuple[int, int]] = []
+    for q_id, vec in queries:
+        qsig = 0
+        for i in range(nbits):
+            d = sum(q * w for q, w in zip(vec, hyperplane(i, dim)))
+            qsig += (1 << i) if round(d, 4) > 0 else 0
+        qsigs.append((q_id, qsig))
+    for method, expand in (
+        ("srp", lambda s: [s]),
+        ("srp_mp1", lambda s: [s] + [s ^ (1 << i) for i in range(nbits)]),
+    ):
+        srp_rows = [(q_id, int(b)) for q_id, s in qsigs for b in expand(s)]
+        bdf = df.sparkSession.createDataFrame(srp_rows, "q_id int, bucket int")
+        cand = sig.join(F.broadcast(bdf), "bucket")
+        scored = (
+            cand.select("q_id", F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+            .join(F.broadcast(df.sparkSession.createDataFrame(
+                queries, "q_id int, q_vec array<double>")), "q_id")
+            .select("q_id", "id",
+                    F.round(cosine(F.col("v"), F.col("q_vec")), 6)
+                    .alias("cos_sim"))
+        )
+        got = _topk_per_query(scored, k)
+        hits = got.join(
+            truth, (got.q_id == truth.q_id) & (got.id == truth.t_id))
+        scanned = cand.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("n_scanned"))
+        out_frames.append(
+            hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+            .crossJoin(scanned.groupBy().agg(
+                F.avg("n_scanned").alias("avg_scanned")))
+            .select(
+                F.lit(method).alias("method"),
+                F.round(F.col("n_hits") / (len(queries) * k), 4)
+                .alias("recall_at_k"),
+                F.lit(len(queries)).alias("n_queries"),
+                F.round(F.col("avg_scanned") / n_total, 4)
+                .alias("frac_scanned"),
+            ))
+
+    out = out_frames[0]
+    for f in out_frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def embedding_near_dup(
     df: DataFrame, vec_col: str, id_col: str, dim: int,
     threshold: float = 0.95, nbits: int = NBITS, max_bucket: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, SRP-bucketed.
 
@@ -247,6 +417,10 @@ def embedding_near_dup(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         srp_signature(F.col(vec_col), dim, nbits).alias("bucket"),
     )
+    if materialize:
+        # same S5 seam as dedup.minhash_candidates: one SRP-signature
+        # computation shared by the count agg and both self-join sides
+        sig = sig.localCheckpoint(eager=False)
     ok = (
         sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
