@@ -534,6 +534,36 @@ def _q_seq_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.packing_offsets(seq)
 
 
+def _q_seq_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest over the input_hint table: shard id from
+    the distributed prefix sum (same two-phase machinery as packing),
+    one row per shard with sequence/token counts and doc range."""
+    from ulp_spark.operators import sharding
+
+    seq = fixtures.sequences(spark, N_FIXTURE).select("doc_id", "n_tok")
+    return sharding.shard_manifest(seq, shard_tokens=1 << 18)
+
+
+def _q_seq_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sequence dedup on TOKEN IDS (md5 over the int array) — the
+    post-tokenization twin of doc_exact_dedup."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.sequence_exact_dedup(seq, "tokens", "doc_id")
+
+
+def _q_seq_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level decontamination: train sequences sharing any 8-token
+    window with the eval split (source='wiki'); eval grams broadcast,
+    train never shuffled."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.token_contamination(
+        seq, "tokens", "doc_id", F.col("source") == "wiki")
+
+
 def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test split (hash-bucket membership, never
     rand()/TABLESAMPLE — identical on any engine, cluster size, or run)."""
@@ -711,30 +741,38 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Queries retired from the driver gate (it caps at 50 rows; round 2 left 5
-# queries without verdicts).  Each retired query is subsumed by a stronger
-# sibling that stays gated, and remains pytest-gated against its DuckDB
-# oracle via tests/test_entry_parity.py (which covers active + retired):
-#   doc_minhash            -> doc_minhash_candidates (same signature exprs)
-#   doc_simhash (16-bit)   -> doc_simhash_candidates (64-bit + Hamming verify)
-#   emb_srp_buckets        -> emb_bucket_pairs (same SRP signature, + pairs)
-#   emb_ivf_cells          -> emb_ivf_cells_trained (seed assign is its CTE)
-#   events_session_windows -> events_sessions (equality pinned in pytest)
-_RETIRED = frozenset({
+# Queries kept OFF the driver gate (it caps at 50 verdict rows; round 2
+# left 5 queries silently unverdicted).  Everything here still runs
+# against its DuckDB oracle in tests/test_entry_parity.py with the same
+# compare (rows + schema + values) — this is the overflow registry, not a
+# weaker gate.  Two kinds of members:
+# * retired (subsumed by a stronger sibling that stays driver-gated):
+#     doc_minhash            -> doc_minhash_candidates (same signature exprs)
+#     doc_simhash (16-bit)   -> doc_simhash_candidates (64-bit + Hamming)
+#     emb_srp_buckets        -> emb_bucket_pairs (same SRP signature, + pairs)
+#     emb_ivf_cells          -> emb_ivf_cells_trained (seed assign is its CTE)
+#     events_session_windows -> events_sessions (equality pinned in pytest)
+# * overflow (added after the 50 slots filled):
+#     seq_shard_manifest, seq_exact_dedup, seq_token_contamination
+#     (token-payload ops over the BASELINE.json input_hint table)
+_PYTEST_ONLY = frozenset({
     "doc_minhash",
     "doc_simhash",
     "emb_srp_buckets",
     "emb_ivf_cells",
     "events_session_windows",
+    "seq_shard_manifest",
+    "seq_exact_dedup",
+    "seq_token_contamination",
 })
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: v for k, v in _all_queries().items() if k not in _RETIRED}
+    return {k: v for k, v in _all_queries().items() if k not in _PYTEST_ONLY}
 
 
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: v for k, v in _all_queries().items() if k in _RETIRED}
+    return {k: v for k, v in _all_queries().items() if k in _PYTEST_ONLY}
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -776,6 +814,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_path": _q_events_json_path,
         "emb_bucket_pairs": _q_emb_bucket_pairs,
         "seq_packing_offsets": _q_seq_packing_offsets,
+        "seq_shard_manifest": _q_seq_shard_manifest,
+        "seq_exact_dedup": _q_seq_exact_dedup,
+        "seq_token_contamination": _q_seq_token_contamination,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
@@ -830,6 +871,35 @@ def _packing_sql() -> str:
         f"FROM range(0, {N_FIXTURE}) t(i))"
     )
     return packing.packing_offsets_sql(seqtab)
+
+
+def _shard_manifest_sql() -> str:
+    from ulp_spark.operators import sharding
+
+    # doc_id/n_tok regenerated without the tokens list (same reason as
+    # _packing_sql: this DuckDB build rejects list comprehensions nested
+    # inside CTEs); identical rows to fixtures.sequences_sql.
+    seqtab = (
+        f"(SELECT printf('doc-%08d', i) AS doc_id, "
+        f"CAST((i*7919) % {fixtures.MAX_TOKENS} + 1 AS INTEGER) AS n_tok "
+        f"FROM range(0, {N_FIXTURE}) t(i))"
+    )
+    return sharding.shard_manifest_sql(seqtab, shard_tokens=1 << 18)
+
+
+def _seq_dedup_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_exact_dedup_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id")
+
+
+def _seq_contamination_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.token_contamination_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
+        "source = 'wiki'")
 
 
 def _split_counts_sql() -> str:
@@ -899,11 +969,12 @@ def _nested_schema_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v for k, v in _all_oracle_sql().items() if k not in _RETIRED}
+    return {k: v for k, v in _all_oracle_sql().items()
+            if k not in _PYTEST_ONLY}
 
 
 def retired_oracle_sql() -> dict[str, str]:
-    return {k: v for k, v in _all_oracle_sql().items() if k in _RETIRED}
+    return {k: v for k, v in _all_oracle_sql().items() if k in _PYTEST_ONLY}
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -1198,6 +1269,9 @@ def _all_oracle_sql() -> dict[str, str]:
                                                b.embedding::DOUBLE[]), 6) >= 0.1
         """,
         "seq_packing_offsets": _packing_sql(),
+        "seq_shard_manifest": _shard_manifest_sql(),
+        "seq_exact_dedup": _seq_dedup_sql(),
+        "seq_token_contamination": _seq_contamination_sql(),
         "doc_split_counts": _split_counts_sql(),
         "doc_length_quantiles": """
             SELECT source,

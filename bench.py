@@ -101,13 +101,21 @@ def main() -> None:
     ctimed("repetition_signals", lambda: curation.repetition_stats(
         big, "text", "doc_id"
     ).agg(F.sum("n_words"), F.avg("dup_2gram_frac")).collect())
+    # default (skew-safe count-then-join) and the one-fewer-shuffle window
+    # path — both reported so the robustness-vs-speed trade stays measured
     ctimed("passage_dedup", lambda: curation.passage_dup_stats(
         big, "text", "doc_id"
+    ).agg(F.sum("n_passages"), F.sum("n_dup_passages")).collect())
+    ctimed("passage_dedup_window", lambda: curation.passage_dup_stats(
+        big, "text", "doc_id", via="window"
     ).agg(F.sum("n_passages"), F.sum("n_dup_passages")).collect())
     red, _counts = curation.redact(F.col("text"))
     ctimed("pii_redact", lambda: big.select(
         F.sum(F.length(red))).collect())
-    cur_total = round(sum(cur.values()), 3)
+    # the window-path variant is an alternative of the same op, not an
+    # extra pipeline stage — keep totals comparable round-over-round
+    cur_total = round(sum(v for k, v in cur.items()
+                          if k != "passage_dedup_window"), 3)
 
     # vocab/BPE is a different op family — reported in its OWN bucket so
     # the curation docs_per_sec number is not diluted by it.
@@ -115,6 +123,49 @@ def main() -> None:
     t0v = time.perf_counter()
     vocab.bpe_top_merges(big, "text", k=20).collect()
     bpe_sec = round(time.perf_counter() - t0v, 3)
+
+    # ANN: recall@10 vs brute force + wall time (the recall/cost curve a
+    # user tunes n_probe with; floors are pinned in pytest).
+    from ulp_spark.operators import similarity  # noqa: E402
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    t0a = time.perf_counter()
+    cents = similarity.ivf_centroids_trained(emb, "embedding", "vec_id",
+                                             k=8, rounds=1)
+    qids = [int(x) for x in range(0, n_emb, max(1, n_emb // 10))][:10]
+    recall_rows = similarity.ann_recall(
+        emb, "embedding", "vec_id", qids, cents, dim=64, k=10,
+        n_probes=(1, 2, 4)).collect()
+    ann_sec = round(time.perf_counter() - t0a, 3)
+    ann = {
+        r.method: {"recall_at_10": r.recall_at_k,
+                   "frac_scanned": r.frac_scanned}
+        for r in recall_rows
+    }
+
+    # LSH near-dup candidates over the sf documents table (repartitioned —
+    # the single-file parquet would otherwise serialize the signature scan).
+    from ulp_spark.operators import dedup  # noqa: E402
+    lsh_docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(int(cpus) * 2)
+    t0l = time.perf_counter()
+    n_pairs = dedup.minhash_candidates(lsh_docs, "text", "doc_id").count()
+    lsh_sec = round(time.perf_counter() - t0l, 3)
+
+    # 10x data anchor: the same full DAG at 10x the sequence count, same
+    # cores — evidence that throughput holds as data scales (the second
+    # axis next to the core-scaling pair in BENCH.md).
+    t0s = time.perf_counter()
+    p10 = pipeline.build(spark, n=n_seqs * 10, checkpoint="local")
+    p10.route_counts.collect()
+    s10 = lattice.route_schemas(
+        p10.routed.filter(~F.col("parse_error")),
+        parse.all_fields(parse.DEFAULT_PATTERNS))
+    route_cast.cast_single_pass(
+        p10.routed.filter(~F.col("parse_error")), s10,
+        parse.all_fields(parse.DEFAULT_PATTERNS),
+    ).filter(~F.col("cast_error")).count()
+    scale10_sec = time.perf_counter() - t0s
 
     total = round(sum(v for k, v in timings.items() if k != "warmup"), 3)
     print(json.dumps({
@@ -137,6 +188,20 @@ def main() -> None:
             "docs": n_docs,
             "bpe_top_merges_sec": bpe_sec,
             "docs_per_sec": round(n_docs / bpe_sec, 1) if bpe_sec else None,
+        },
+        "ann": {"vectors": n_emb, "sec": ann_sec, "recall": ann},
+        "lsh": {"docs": lsh_docs.count(), "candidate_pairs": int(n_pairs),
+                "minhash_candidates_sec": lsh_sec},
+        "scale10x": {
+            "seqs": n_seqs * 10,
+            "sec": round(scale10_sec, 3),
+            "throughput_seq_per_sec": round(n_seqs * 10 / scale10_sec, 1),
+            # same four phases at 1x (parse, route counts, schema, cast):
+            # efficiency = (1x time x 10) / 10x time; 1.0 = perfectly linear
+            "data_scaling_efficiency": round(
+                10 * sum(timings[k] for k in (
+                    "parse_phase", "parse_route_counts",
+                    "schema_infer", "cast_single_pass")) / scale10_sec, 3),
         },
     }))
     spark.stop()

@@ -722,3 +722,67 @@ def test_passage_dedup_skew_paths_agree_on_degenerate_corpus(spark):
     assert all(v[1] >= 1 for v in ra.values())
     with pytest.raises(ValueError):
         curation.passage_dup_stats(df, "text", "doc_id", via="nope")
+
+
+def test_shard_writer_roundtrip(spark, tmp_path):
+    """write_shards: shard-partitioned parquet whose re-read manifest
+    matches the planned one; every shard's token span starts inside its
+    budget window (straddle rule: a sequence belongs to the shard of its
+    FIRST token)."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import sharding
+
+    seq = fixtures.sequences(spark, 2_000).select("doc_id", "n_tok")
+    path = str(tmp_path / "shards")
+    st = 64 * 1024
+    manifest = {r.shard: r for r in sharding.write_shards(
+        seq, path, shard_tokens=st).collect()}
+    planned = {r.shard: r for r in sharding.shard_manifest(
+        seq, shard_tokens=st).collect()}
+    assert set(manifest) == set(planned)
+    for s in manifest:
+        assert manifest[s].n_seqs == planned[s].n_seqs
+        assert manifest[s].n_tokens == planned[s].n_tokens
+    # straddle rule: total tokens of shard s, excluding its last sequence,
+    # stays under the budget (only the final sequence may overhang)
+    assigned = sharding.shard_assign(seq, shard_tokens=st)
+    rows = assigned.orderBy("doc_id").collect()
+    for r in rows:
+        assert (r.tok_offset // st) == r.shard
+    # partition directories exist on disk
+    import os
+    dirs = [d for d in os.listdir(path) if d.startswith("shard=")]
+    assert len(dirs) == len(manifest)
+
+
+def test_token_fingerprint_collides_only_on_equal_arrays(spark):
+    from ulp_spark.operators import tokens
+
+    rows = [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 23]),  # "1,23" vs "1,2,3"
+            (4, []), (5, []), (6, [12, 3])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r.doc_id: r.dup_count for r in tokens.sequence_exact_dedup(
+        df, "tokens", "doc_id").collect()}
+    # survivors: 1 (dups with 2), 3, 4 (dups with 5), 6
+    assert got == {1: 2, 3: 1, 4: 2, 6: 1}
+
+
+def test_token_contamination_short_and_exact_window(spark):
+    """Sequences shorter than k produce no grams (never contaminate or
+    get contaminated); an exact shared 8-token window flags the train row."""
+    from pyspark.sql import functions as SF
+
+    from ulp_spark.operators import tokens
+
+    shared = list(range(100, 108))  # one 8-token window
+    rows = [
+        (1, shared + [1, 2], "train"),
+        (2, [9, 8, 7, 6, 5, 4, 3, 2, 1], "train"),
+        (3, shared, "eval"),
+        (4, [5, 4, 3], "eval"),     # too short: no grams
+        (5, [5, 4, 3], "train"),    # too short: cannot be flagged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, split string")
+    got = {r.doc_id: r.is_contaminated for r in tokens.token_contamination(
+        df, "tokens", "doc_id", SF.col("split") == "eval").collect()}
+    assert got == {1: True, 2: False, 5: False}
