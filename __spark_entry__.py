@@ -564,6 +564,15 @@ def _q_seq_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "tokens", "doc_id", F.col("source") == "wiki")
 
 
+def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: rows > 3 population stddevs from their
+    (event_type, day) mean; stats side broadcast, events never shuffled."""
+    from ulp_spark.operators import anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return anomaly.value_anomalies(ev)
+
+
 def _q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test split (hash-bucket membership, never
     rand()/TABLESAMPLE — identical on any engine, cluster size, or run)."""
@@ -754,7 +763,8 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     events_session_windows -> events_sessions (equality pinned in pytest)
 # * overflow (added after the 50 slots filled):
 #     seq_shard_manifest, seq_exact_dedup, seq_token_contamination
-#     (token-payload ops over the BASELINE.json input_hint table)
+#     (token-payload ops over the BASELINE.json input_hint table),
+#     events_value_anomalies (windowed z-score flagging)
 _PYTEST_ONLY = frozenset({
     "doc_minhash",
     "doc_simhash",
@@ -764,6 +774,7 @@ _PYTEST_ONLY = frozenset({
     "seq_shard_manifest",
     "seq_exact_dedup",
     "seq_token_contamination",
+    "events_value_anomalies",
 })
 
 
@@ -817,6 +828,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_shard_manifest": _q_seq_shard_manifest,
         "seq_exact_dedup": _q_seq_exact_dedup,
         "seq_token_contamination": _q_seq_token_contamination,
+        "events_value_anomalies": _q_events_value_anomalies,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
@@ -900,6 +912,12 @@ def _seq_contamination_sql() -> str:
     return tokens.token_contamination_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
         "source = 'wiki'")
+
+
+def _anomalies_sql() -> str:
+    from ulp_spark.operators import anomaly
+
+    return anomaly.value_anomalies_sql("events")
 
 
 def _split_counts_sql() -> str:
@@ -1272,6 +1290,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_shard_manifest": _shard_manifest_sql(),
         "seq_exact_dedup": _seq_dedup_sql(),
         "seq_token_contamination": _seq_contamination_sql(),
+        "events_value_anomalies": _anomalies_sql(),
         "doc_split_counts": _split_counts_sql(),
         "doc_length_quantiles": """
             SELECT source,

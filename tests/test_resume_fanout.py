@@ -458,3 +458,32 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # frontier window [60m, 65m): usually still held in state; if an
     # engine change ever emits it, it must hold BOTH frontier rows.
     assert got.get("01:00") in (None, 2)
+
+
+def test_job_status_and_delete(spark, tmp_path):
+    """GET/DELETE /job analogs (reference src/api.rs:79-107): status is
+    the manifest + derived summary (None = the 204 case); delete clears
+    the record but leaves sink files unless remove_sinks is explicit."""
+    import os
+
+    base = str(tmp_path / "runs")
+    assert manifest.job_status(base, "nope") is None  # 204
+
+    m = manifest.new_manifest("run-js", 10, {"a": {}, "b": {}})
+    m["routes"]["a"].update(committed=True, n_rows=7, path="x")
+    manifest.save(base, "run-js", m)
+    sink = os.path.join(base, "run-js", "sinks", "a")
+    os.makedirs(sink)
+
+    st = manifest.job_status(base, "run-js")
+    assert st["summary"] == {"n_routes": 2, "n_committed": 1,
+                             "n_pending": 1, "total_rows": 7, "done": False}
+
+    assert manifest.delete_job(base, "run-js") is True
+    assert manifest.job_status(base, "run-js") is None
+    assert os.path.isdir(sink)          # reference semantics: files stay
+    assert manifest.delete_job(base, "run-js") is False  # already gone
+
+    manifest.save(base, "run-js", m)
+    assert manifest.delete_job(base, "run-js", remove_sinks=True) is True
+    assert not os.path.isdir(sink)

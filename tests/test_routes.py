@@ -115,3 +115,22 @@ def test_route_runtime_string_types(spark):
     ]
     got = _eval_routes(spark, "evtx_{{provider}}", [c for c, _ in cases], ["provider"])
     assert got == [e for _, e in cases]
+
+
+def test_parse_methods_identical(spark):
+    """The one-regex-execution 'replace' path must produce byte-identical
+    rows to the classic regexp_extract path, including empty groups
+    (src=), no-match quarantine nulls, and sniff codes."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import parse as parse_op
+
+    lines = fixtures.raw_lines(spark, 500)
+    a = parse_op.parse_lines(lines, method="replace")
+    b = parse_op.parse_lines(lines, method="extract")
+    assert a.columns == b.columns
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_op.parse_lines(lines, method="nope")

@@ -786,3 +786,28 @@ def test_token_contamination_short_and_exact_window(spark):
     got = {r.doc_id: r.is_contaminated for r in tokens.token_contamination(
         df, "tokens", "doc_id", SF.col("split") == "eval").collect()}
     assert got == {1: True, 2: False, 5: False}
+
+
+def test_value_anomalies_flags_constructed_outlier(spark):
+    """One planted outlier among near-constant values must be flagged;
+    a window with zero variance must flag nothing (no div-by-zero)."""
+    from ulp_spark.operators import anomaly
+
+    base = "2024-03-01 12:00:00"
+    rows = (
+        # key 'a': 20 values near 10, one at 1000 -> outlier
+        [(i, base, "a", 10.0 + (i % 3) * 0.1) for i in range(20)]
+        + [(99, base, "a", 1000.0)]
+        # key 'b': constant -> std 0, nothing flagged
+        + [(200 + i, base, "b", 5.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = anomaly.value_anomalies(df).collect()
+    assert [r.event_id for r in got] == [99]
+    assert got[0].w_day == "2024-03-01"
+    assert got[0].zscore > 4
+    # constant-window rows produce no stats rows with std>0 at all
+    stats = {r.event_type: r.std for r in anomaly.window_stats(df).collect()}
+    assert stats["b"] == 0.0

@@ -206,18 +206,19 @@ def passage_dup_stats(
     Two physical strategies, identical results (equality pinned on a
     degenerate 20k-docs-one-boilerplate corpus in pytest):
 
-    * ``via="join"`` (default): explode -> groupBy(ph).count (map-side
-      partial combine collapses a hot passage to ONE row per upstream
-      partition) -> sort-merge join back on ph -> re-group by doc.  Three
-      exchanges, but the hot-key path is skew-proof twice over: the count
-      shuffle moves one row per (partition, hot key), and the M matching
-      rows of the re-join land in a sort-merge join partition AQE's
-      skew-join splitting can subdivide.
-    * ``via="window"``: count over Window.partitionBy(ph) — one fewer
-      shuffle, but a passage shared by M documents becomes ONE window
-      partition that WindowExec must sort and buffer (spilling at large
-      M); AQE cannot split a window partition.  Faster on well-behaved
-      corpora, kept for them.
+    * ``via="join"`` (default): the downstream only needs the BOOLEAN
+      "is this passage duplicated", so: explode -> groupBy(ph).count
+      (map-side partial combine collapses a hot passage to ONE row per
+      upstream partition) -> keep only count>1 keys (the DUP set, far
+      smaller than the passage table on any deduplicatable corpus) ->
+      LEFT join that set back.  AQE picks the join physically: a small
+      dup set becomes a runtime broadcast (the corpus is then NEVER
+      shuffled on ph), a huge one a sort-merge join whose hot keys AQE
+      skew-splitting can subdivide.
+    * ``via="window"``: count over Window.partitionBy(ph) — no join, but
+      a passage shared by M documents becomes ONE window partition that
+      WindowExec must sort and buffer (spilling at large M); AQE cannot
+      split a window partition.  Kept for corpora known skew-free.
 
     No collect, no all-pairs — a passage shared by M docs costs M rows,
     not M^2, on both paths.
@@ -227,16 +228,22 @@ def passage_dup_stats(
         F.explode(passage_hashes(F.col(text_col), words)).alias("ph"),
     )
     if via == "window":
-        per_passage = exploded.withColumn(
-            "ph_count", F.count(F.lit(1)).over(Window.partitionBy("ph")))
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("ph"))
+        per_passage = exploded.withColumn("is_dup", cnt > 1)
     elif via == "join":
-        cnt = exploded.groupBy("ph").agg(
-            F.count(F.lit(1)).alias("ph_count"))
-        per_passage = exploded.join(cnt, "ph")
+        dup_keys = (
+            exploded.groupBy("ph").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select("ph", F.lit(True).alias("__dup"))
+        )
+        per_passage = (
+            exploded.join(dup_keys, "ph", "left")
+            .withColumn("is_dup", F.coalesce(F.col("__dup"), F.lit(False)))
+        )
     else:
         raise ValueError(f"via must be 'join' or 'window', got {via!r}")
     n_p = F.count(F.lit(1))
-    n_dup = F.sum((F.col("ph_count") > 1).cast("int"))
+    n_dup = F.sum(F.col("is_dup").cast("int"))
     return per_passage.groupBy(id_col).agg(
         n_p.alias("n_passages"),
         n_dup.cast("bigint").alias("n_dup_passages"),

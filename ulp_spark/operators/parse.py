@@ -67,16 +67,35 @@ def all_fields(patterns: Sequence[LogPattern]) -> list[str]:
     return list(seen)
 
 
+GROUP_SEP = "\x01"  # separator for the one-pass group extraction
+
+
 def parse_lines(
     df: DataFrame,
     line_col: str = "line",
     patterns: Sequence[LogPattern] = DEFAULT_PATTERNS,
+    method: str = "replace",
 ) -> DataFrame:
     """Parse a string column into typed fields + parser tag + error flag.
 
     Adds per field ``f``: the raw extracted text ``f``, its sniffed map-type
     code ``f__t`` and runtime code ``f__r`` (see functions.sniff docstrings).
     Missing field / no match -> NULL (never "").
+
+    ``method`` picks the group-extraction strategy (identical outputs,
+    pinned by test_parse_methods_identical):
+
+    * ``"replace"`` (default): ONE regex execution per row for the
+      matching pattern — ``regexp_replace`` rewrites the line to its
+      groups joined by ``GROUP_SEP`` (0x01), then a literal split +
+      ``element_at`` per field.  k fields cost one match + one split
+      instead of k full matches.  Caveat (documented contract): a GROUP
+      whose text contains 0x01 would shift the split — impossible for
+      ``\\S``-class groups like these; choose a different separator for
+      patterns that can capture control characters.
+    * ``"extract"``: classic ``regexp_extract`` per field (k full regex
+      executions per row); no separator caveat, kept as the fallback and
+      as the shape mirrored by the DuckDB twin ``parse_sql``.
     """
     line = F.col(line_col)
     parser = F.lit(None).cast("string")
@@ -88,20 +107,48 @@ def parse_lines(
     # in fields instead of re-inlining the detection cascade per field.
     fields = all_fields(patterns)
     stage1 = df.select("*", parser.alias("parser"))
-    value_cols = []
-    for f in fields:
-        value = F.lit(None).cast("string")
-        for p in reversed(patterns):
-            if f in p.fields:
-                idx = p.fields.index(f) + 1
-                value = F.when(
+    if method == "replace":
+        garr = []
+        for p in patterns:
+            repl = GROUP_SEP.join(f"${i + 1}" for i in range(len(p.fields)))
+            garr.append(
+                F.when(
                     F.col("parser") == p.name,
-                    F.regexp_extract(line, p.regex, idx),
-                ).otherwise(value)
-        value_cols.append(value.alias(f))
-    stage2 = stage1.select(
-        "*", F.col("parser").isNull().alias("parse_error"), *value_cols
-    )
+                    F.split(F.regexp_replace(line, p.regex, repl), GROUP_SEP),
+                ).alias(f"__g_{p.name}")
+            )
+        stage1 = stage1.select("*", *garr)
+        value_cols = []
+        for f in fields:
+            value = F.lit(None).cast("string")
+            for p in reversed(patterns):
+                if f in p.fields:
+                    idx = p.fields.index(f) + 1
+                    value = F.when(
+                        F.col("parser") == p.name,
+                        F.element_at(F.col(f"__g_{p.name}"), idx),
+                    ).otherwise(value)
+            value_cols.append(value.alias(f))
+        stage2 = stage1.select(
+            "*", F.col("parser").isNull().alias("parse_error"), *value_cols
+        ).drop(*[f"__g_{p.name}" for p in patterns])
+    elif method == "extract":
+        value_cols = []
+        for f in fields:
+            value = F.lit(None).cast("string")
+            for p in reversed(patterns):
+                if f in p.fields:
+                    idx = p.fields.index(f) + 1
+                    value = F.when(
+                        F.col("parser") == p.name,
+                        F.regexp_extract(line, p.regex, idx),
+                    ).otherwise(value)
+            value_cols.append(value.alias(f))
+        stage2 = stage1.select(
+            "*", F.col("parser").isNull().alias("parse_error"), *value_cols
+        )
+    else:
+        raise ValueError(f"method must be 'replace' or 'extract', got {method!r}")
     stage3 = stage2.select(
         "*", *[sniff.sniff_code(F.col(f)).alias(f"{f}__t") for f in fields]
     )

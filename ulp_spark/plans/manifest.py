@@ -62,6 +62,46 @@ def new_manifest(run_id: str, n: int, route_schemas: dict[str, dict[str, int]]
     }
 
 
+def job_status(base: str, run_id: str) -> dict[str, Any] | None:
+    """``GET /job`` analog (reference ``src/api.rs:79-88``: serialize the
+    current job, or 204 when none).  Returns the manifest plus a derived
+    summary — committed/pending route counts and total committed rows —
+    or ``None`` when no manifest exists (the 204 case)."""
+    m = load(base, run_id)
+    if m is None:
+        return None
+    routes = m.get("routes", {})
+    committed = [r for r, e in routes.items() if e.get("committed")]
+    return {
+        **m,
+        "summary": {
+            "n_routes": len(routes),
+            "n_committed": len(committed),
+            "n_pending": len(routes) - len(committed),
+            "total_rows": sum(int(routes[r]["n_rows"] or 0)
+                              for r in committed),
+            "done": len(committed) == len(routes),
+        },
+    }
+
+
+def delete_job(base: str, run_id: str, remove_sinks: bool = False) -> bool:
+    """``DELETE /job`` analog (reference ``src/api.rs:98-107``: clears the
+    in-memory job record, leaving prior outputs on disk).  Removes the
+    manifest only; ``remove_sinks=True`` additionally removes the whole
+    run directory (sink parquet included) — an explicit extension, not
+    reference behavior.  Returns True if a manifest was deleted."""
+    import shutil
+
+    p = manifest_path(base, run_id)
+    existed = os.path.exists(p)
+    if remove_sinks:
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+    elif existed:
+        os.remove(p)
+    return existed
+
+
 def resume_fanout(
     routed: DataFrame,
     manifest: dict[str, Any],
