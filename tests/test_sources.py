@@ -127,3 +127,44 @@ def test_ivf_trained_fewer_rows_than_k(spark):
     cells = [r.c for r in df.select(
         similarity.ivf_assign(F.col("embedding"), cents).alias("c")).collect()]
     assert all(0 <= c < len(cents) for c in cells)
+
+
+def test_csv_and_gzip_detection_and_readers(spark, tmp_path):
+    """Round-3 format breadth: csv/tsv classify as table sources; gzip
+    members classify as their INNER format (compression is storage, not
+    format) and read transparently through the text reader."""
+    import gzip
+
+    from ulp_spark.sources import registry
+
+    (tmp_path / "a.csv").write_text("x,y\n1,foo\n2,bar\n")
+    (tmp_path / "b.tsv").write_text("x\ty\n")
+    with gzip.open(tmp_path / "c.ndjson.gz", "wt") as f:
+        f.write('{"k": 1}\n{"k": 2}\n')
+    with gzip.open(tmp_path / "d.log.gz", "wt") as f:
+        f.write("2024-01-01T00:00:00 INFO doc=a src=b n=1\n")
+    (tmp_path / "e.gz").write_bytes(gzip.compress(b"???"))  # no inner ext
+
+    plan = registry.plan_scan(str(tmp_path / "*"))
+    assert [p.split("/")[-1] for p in plan.groups.get("csv", [])] == \
+        ["a.csv", "b.tsv"]
+    assert [p.split("/")[-1] for p in plan.groups.get("ndjson", [])] == \
+        ["c.ndjson.gz"]
+    assert [p.split("/")[-1] for p in plan.groups.get("kv_log", [])] == \
+        ["d.log.gz"]
+    assert [p.split("/")[-1] for p in plan.unknown] == ["e.gz"]
+
+    lines = registry.read_lines(spark, plan)
+    got = sorted(r.line for r in lines.collect())
+    assert got == sorted(['{"k": 1}', '{"k": 2}',
+                          "2024-01-01T00:00:00 INFO doc=a src=b n=1"])
+
+    tables = registry.read_tables(spark, plan)
+    # comma and tab files get separate readers (never one merged schema)
+    assert set(tables) == {"csv", "tsv"}
+    csv = tables["csv"]
+    assert set(csv.columns) == {"x", "y"}
+    assert csv.count() == 2
+    assert dict(csv.dtypes)["x"] == "int"
+    assert set(tables["tsv"].columns) == {"x", "y"}
+    assert tables["tsv"].count() == 0  # header-only file

@@ -36,6 +36,7 @@ MAGIC: list[tuple[str, bytes]] = [
     ("ndjson", b"{"),
     ("kv_log", b""),  # fallthrough handled by extension below
 ]
+GZIP_MAGIC = b"\x1f\x8b"
 EXT_FALLBACK = {
     ".parquet": "parquet",
     ".json": "ndjson",
@@ -43,6 +44,8 @@ EXT_FALLBACK = {
     ".ndjson": "ndjson",
     ".log": "kv_log",
     ".txt": "kv_log",
+    ".csv": "csv",
+    ".tsv": "csv",
 }
 
 
@@ -52,12 +55,19 @@ def expand_glob(pattern: str) -> list[str]:
 
 
 def detect_file_format(path: str) -> str:
-    """S2 at file granularity: magic bytes, then extension, else unknown."""
+    """S2 at file granularity: magic bytes, then extension, else unknown.
+
+    gzip members classify as their INNER format (``x.ndjson.gz`` ->
+    ndjson): Spark's text/csv readers decompress ``.gz`` transparently,
+    so compression is a storage property, not a format group."""
     try:
         with open(path, "rb") as f:
             head = f.read(8)
     except OSError:
         return "unknown"
+    if head.startswith(GZIP_MAGIC):
+        stem = path[:-3] if path.lower().endswith(".gz") else path
+        return EXT_FALLBACK.get(os.path.splitext(stem)[1].lower(), "unknown")
     for name, magic in MAGIC:
         if magic and head.startswith(magic):
             return name
@@ -108,6 +118,34 @@ def read_lines(spark: SparkSession, plan: ScanPlan) -> DataFrame:
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    return out
+
+
+def read_tables(
+    spark: SparkSession, plan: ScanPlan, csv_header: bool = True,
+) -> dict[str, DataFrame]:
+    """Typed readers for the TABLE formats in a scan plan (parquet, csv);
+    line-oriented groups go through :func:`read_lines` instead.  CSV types
+    are inferred by Spark's sampler — for production-stable schemas pass
+    the result through the sniff/cast battery like any parsed field."""
+    out: dict[str, DataFrame] = {}
+    if plan.groups.get("parquet"):
+        out["parquet"] = spark.read.parquet(*plan.groups["parquet"])
+    # comma and tab files never share one reader: a .tsv header parsed
+    # under the comma delimiter becomes a bogus data row that degrades
+    # the whole group's inferred schema to strings
+    csvish = plan.groups.get("csv", [])
+    for key, sep in (("csv", ","), ("tsv", "\t")):
+        paths = [p for p in csvish
+                 if (os.path.splitext(p[:-3] if p.lower().endswith(".gz")
+                                      else p)[1].lower() == f".{key}")]
+        if paths:
+            out[key] = (
+                spark.read.option("header", str(csv_header).lower())
+                .option("inferSchema", "true")
+                .option("sep", sep)
+                .csv(paths)
+            )
     return out
 
 
