@@ -196,7 +196,15 @@ def main() -> None:
     drows = "\n".join(
         f"| local[{c}] | {dres[c]['median_sec']} | {dres[c]['throughput']:,.0f} | "
         f"{dres[c]['walls']} |" for c in (2, 8, 32))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve any hand-written sections after the marker (round-3+ notes)
+    tail = ""
+    bench_path = os.path.join(REPO, "BENCH.md")
+    if os.path.exists(bench_path):
+        prior_md = open(bench_path).read()
+        marker = "## Round 3 additions"
+        if marker in prior_md:
+            tail = "\n" + prior_md[prior_md.index(marker):]
+    with open(bench_path, "w") as f:
         f.write(f"""# BENCH — throughput + scaling evidence
 
 Job: generate `raw_lines` -> vectorized parse (regex + sniff battery) ->
@@ -244,7 +252,7 @@ runs at vocab scale.  n={dres[2]['n']:,} docs.
 
 local[2] -> local[8] efficiency = {deff_2_8:.3f};
 local[8] -> local[32] = {deff_8_32:.3f} (same host caveat as above).
-""")
+""" + tail)
 
 
 if __name__ == "__main__":

@@ -487,3 +487,26 @@ def test_job_status_and_delete(spark, tmp_path):
     manifest.save(base, "run-js", m)
     assert manifest.delete_job(base, "run-js", remove_sinks=True) is True
     assert not os.path.isdir(sink)
+
+
+def test_compact_route_rewrites_and_preserves_rows(spark, tmp_path):
+    """Small-files compaction: many tiny files -> ceil(rows/target) files,
+    content identical, atomic swap; an already-compact dir is skipped."""
+    from ulp_spark.operators import fanout
+
+    path = str(tmp_path / "route_a")
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    df.repartition(37).write.parquet(path)  # 37 tiny files
+
+    before = lineage.content_digest(spark.read.parquet(path), ["doc_id"])
+    res = fanout.compact_route(spark, path, target_rows_per_file=4_000)
+    assert res["files_before"] == 37
+    assert res["files_after"] == 3  # ceil(10000/4000)
+    assert res["rows"] == 10_000 and res["skipped"] == 0
+    after = spark.read.parquet(path)
+    assert after.count() == 10_000
+    assert lineage.content_digest(after, ["doc_id"]) == before
+
+    res2 = fanout.compact_route(spark, path, target_rows_per_file=4_000,
+                                min_files=3)
+    assert res2["skipped"] == 1 and res2["files_before"] == 3

@@ -811,3 +811,23 @@ def test_value_anomalies_flags_constructed_outlier(spark):
     # constant-window rows produce no stats rows with std>0 at all
     stats = {r.event_type: r.std for r in anomaly.window_stats(df).collect()}
     assert stats["b"] == 0.0
+
+
+def test_lsh_topk_multiprobe_widens_candidates(spark):
+    """multiprobe=1 probes all Hamming-1 buckets: the result set can only
+    stay equal or improve vs the exact-bucket probe, and the query vector
+    itself (cos=1.0) is always in its own bucket."""
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0)
+         .select("embedding").first()[0]]
+    r0 = similarity.lsh_topk(df, "embedding", "vec_id", q, k=10)
+    r1 = similarity.lsh_topk(df, "embedding", "vec_id", q, k=10, multiprobe=1)
+    rows0 = r0.collect()
+    rows1 = r1.collect()
+    assert rows0[0].vec_id == 0 and rows0[0].cos_sim == 1.0
+    assert rows1[0].vec_id == 0 and rows1[0].cos_sim == 1.0
+    # candidate superset => positionwise the ranking can only improve,
+    # and the result set can only grow (up to k)
+    for i in range(len(rows0)):
+        assert rows1[i].cos_sim >= rows0[i].cos_sim
+    assert len(rows1) >= len(rows0)

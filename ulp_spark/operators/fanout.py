@@ -54,3 +54,44 @@ def write_per_route(
 def route_counts(df: DataFrame, route_col: str = "route") -> DataFrame:
     """A5: rows per sink — the reference's implicit per-index doc count."""
     return df.groupBy(route_col).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def compact_route(
+    spark, path: str, target_rows_per_file: int = 1_000_000,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Small-files compaction for one route/shard directory — the
+    maintenance op every long-running fan-out sink needs (many
+    incremental commits -> thousands of KB-sized parquet files -> listing
+    and open() overhead dominates reads at 100 TB).
+
+    Rewrites the directory into ``ceil(rows / target_rows_per_file)``
+    files via a temp dir + atomic directory swap (the same
+    publish-then-rename idempotency as the manifest commits); skips
+    directories already at or below ``min_files`` files.  Returns
+    {files_before, files_after, rows} for the maintenance log.
+
+    At cluster scale the equivalent is Iceberg's rewrite_data_files
+    (BASELINE.md sink-substitution table); this is the parquet-directory
+    form with identical semantics.
+    """
+    import glob as _glob
+    import math
+    import shutil
+
+    files_before = len(_glob.glob(os.path.join(path, "*.parquet")))
+    if files_before <= min_files:
+        return {"files_before": files_before, "files_after": files_before,
+                "rows": -1, "skipped": 1}
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_out = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = path.rstrip("/") + ".compact-tmp"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = len(_glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows, "skipped": 0}
