@@ -510,3 +510,74 @@ def test_compact_route_rewrites_and_preserves_rows(spark, tmp_path):
     res2 = fanout.compact_route(spark, path, target_rows_per_file=4_000,
                                 min_files=3)
     assert res2["skipped"] == 1 and res2["files_before"] == 3
+
+
+def test_streaming_window_stats_match_batch(spark, tmp_path):
+    """anomaly.window_stats is the streaming-unification claim for the
+    anomaly op: the SAME groupBy(key, window) aggregation runs unchanged
+    as a Structured Streaming complete-mode aggregation and lands on the
+    batch answer."""
+    from ulp_spark.operators import anomaly
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .limit(2000)
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+
+    batch = {(r.event_type, r.w_start): (r.n, r.mean, r.std)
+             for r in anomaly.window_stats(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = (
+        anomaly.window_stats(stream)
+        .writeStream.format("memory").queryName("wstats")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_type, r.w_start): (r.n, r.mean, r.std)
+           for r in spark.sql("SELECT * FROM wstats").collect()}
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_snapshot_history_and_rollback(spark, tmp_path):
+    """Iceberg-substitution depth: every commit appends a snapshot to the
+    manifest history; rollback_to_snapshot flips later routes back to
+    pending and the next resume rewrites exactly those sinks."""
+    routed = _routed(spark).select("doc_id", "route", "parser")
+    fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+    schemas = lattice.route_schemas(pipeline.build(spark, n=N).routed, fields)
+    base = str(tmp_path / "runs")
+
+    m = manifest.new_manifest("run-sn", N, schemas)
+    manifest.save(base, "run-sn", m)          # snapshot 0: nothing committed
+    done = manifest.resume_fanout(routed, m, base)
+    hist = manifest.load(base, "run-sn")["history"]
+    n_routes = len(done["routes"])
+    # one snapshot per route commit, plus the initial empty one
+    assert [h["snapshot_id"] for h in hist] == list(range(n_routes + 1))
+    assert hist[0]["committed"] == []
+    assert len(hist[-1]["committed"]) == n_routes
+
+    # roll back to the second commit point: all but 2 routes become pending
+    rolled = manifest.rollback(base, "run-sn", 2)
+    pending = [r for r, e in rolled["routes"].items() if not e["committed"]]
+    assert len(pending) == n_routes - 2
+    # rollback appended a snapshot rather than rewriting history
+    assert rolled["history"][-1]["snapshot_id"] == n_routes + 1
+    assert sorted(rolled["history"][-1]["committed"]) == \
+        sorted(rolled["history"][2]["committed"])
+
+    # resume catches the data back up; full content equality again
+    done2 = manifest.resume_fanout(routed, rolled, base)
+    assert all(e["committed"] for e in done2["routes"].values())
+    paths = [e["path"] for e in done2["routes"].values() if e["n_rows"]]
+    union = spark.read.parquet(*paths).select("doc_id", "route", "parser")
+    assert union.count() == routed.count()
+
+    import pytest as _p
+    with _p.raises(KeyError):
+        manifest.rollback(base, "run-sn", 999)
+    with _p.raises(KeyError):
+        manifest.rollback(base, "nope", 0)

@@ -831,3 +831,26 @@ def test_lsh_topk_multiprobe_widens_candidates(spark):
     for i in range(len(rows0)):
         assert rows1[i].cos_sim >= rows0[i].cos_sim
     assert len(rows1) >= len(rows0)
+
+
+def test_profile_table_approx_within_tolerance_and_no_expand(spark):
+    """The 100-TB profiling form: HLL distinct within 3*rsd of exact, and
+    the physical plan drops the Expand the exact distincts force."""
+    from ulp_spark.operators import profiling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    exact = {r.col_name: r for r in profiling.profile_table(docs, cols).collect()}
+    appr = {r.col_name: r for r in profiling.profile_table(
+        docs, cols, approx=True, rsd=0.05).collect()}
+    for c in cols:
+        e, a = exact[c], appr[c]
+        assert a.n_rows == e.n_rows and a.n_nulls == e.n_nulls
+        assert a.min_val == e.min_val and a.max_val == e.max_val
+        assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.15 * e.n_distinct)
+    plan_exact = profiling.profile_table(docs, cols)._jdf \
+        .queryExecution().executedPlan().toString()
+    plan_appr = profiling.profile_table(docs, cols, approx=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Expand" in plan_exact
+    assert "Expand" not in plan_appr

@@ -35,15 +35,27 @@ def _render(col: Column, is_float: bool) -> Column:
     return col.cast("string")
 
 
-def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: list[str], approx: bool = False, rsd: float = 0.05,
+) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_val, max_val) per column;
-    min/max rendered as strings so the output schema is uniform."""
+    min/max rendered as strings so the output schema is uniform.
+
+    ``approx=True`` is the 100-TB form: HLL ``approx_count_distinct``
+    (relative error ``rsd``) replaces the exact distinct — the plan loses
+    its Expand (no duplicated stream per distinct aggregate) and becomes
+    a plain partial+final aggregation.  The exact form stays the
+    oracle-gated default (DuckDB's HLL sketches differ, so approx counts
+    cannot hash-match an oracle); the approx form is pinned by a
+    tolerance test instead."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         is_f = df.schema[c].dataType.typeName() in FLOAT_TYPES
+        nd = (F.approx_count_distinct(F.col(c), rsd) if approx
+              else F.count_distinct(F.col(c)))
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            nd.alias(f"{c}__nd"),
             _render(F.min(F.col(c)), is_f).alias(f"{c}__min"),
             _render(F.max(F.col(c)), is_f).alias(f"{c}__max"),
         ]

@@ -41,6 +41,19 @@ def load(base: str, run_id: str) -> dict[str, Any] | None:
 
 
 def save(base: str, run_id: str, manifest: dict[str, Any]) -> str:
+    """Atomic publish (tmp + rename, like the reference's final write).
+
+    Also maintains the SNAPSHOT LOG: whenever the committed-route set
+    differs from the latest snapshot, a new entry {snapshot_id,
+    committed} is appended to ``manifest["history"]`` — the metadata
+    analog of Iceberg's snapshot lineage (each commit = a new snapshot
+    whose id is the resume/rollback token; BASELINE.md substitution
+    table).  Ids are monotonically increasing ints, deterministic."""
+    routes = manifest.get("routes", {})
+    committed = sorted(r for r, e in routes.items() if e.get("committed"))
+    hist = manifest.setdefault("history", [])
+    if not hist or hist[-1]["committed"] != committed:
+        hist.append({"snapshot_id": len(hist), "committed": committed})
     p = manifest_path(base, run_id)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = p + ".tmp"
@@ -48,6 +61,31 @@ def save(base: str, run_id: str, manifest: dict[str, Any]) -> str:
         json.dump(manifest, f, indent=2, sort_keys=True)
     os.replace(tmp, p)  # atomic publish, like the reference's final write
     return p
+
+
+def rollback(base: str, run_id: str, snapshot_id: int) -> dict[str, Any]:
+    """Restore the manifest's route commit-state to ``snapshot_id`` (the
+    Iceberg ``rollback_to_snapshot`` analog, metadata level: routes
+    committed after that snapshot flip back to pending, so the next
+    ``resume_fanout`` rewrites exactly those sinks — idempotent
+    overwrite commits make the data catch up with the metadata).  The
+    rollback itself is a new snapshot (history is append-only, like
+    Iceberg's lineage).  Raises KeyError for an unknown snapshot."""
+    m = load(base, run_id)
+    if m is None:
+        raise KeyError(f"no manifest for run {run_id!r}")
+    hist = m.get("history", [])
+    match = [h for h in hist if h["snapshot_id"] == snapshot_id]
+    if not match:
+        raise KeyError(f"snapshot {snapshot_id} not in history "
+                       f"(have {[h['snapshot_id'] for h in hist]})")
+    keep = set(match[0]["committed"])
+    for r, e in m["routes"].items():
+        if r not in keep and e.get("committed"):
+            e["committed"] = False
+            e["n_rows"] = None
+    save(base, run_id, m)
+    return m
 
 
 def new_manifest(run_id: str, n: int, route_schemas: dict[str, dict[str, int]]
@@ -107,6 +145,7 @@ def resume_fanout(
     manifest: dict[str, Any],
     base: str,
     route_col: str = "route",
+    materialize: bool = True,
 ) -> dict[str, Any]:
     """Write every uncommitted route's partition; returns updated manifest.
 
@@ -126,6 +165,20 @@ def resume_fanout(
                if not manifest["routes"][r]["committed"]]
     if not pending:
         return manifest
+    if materialize:
+        # S5 seam, REQUIRED for an unmaterialized `routed`: each route's
+        # `filter(route == r)` would otherwise push the predicate down
+        # THROUGH the route derivation, re-inlining the entire
+        # parse/sniff/template tree into the filter condition — measured
+        # in round 3: whole-stage codegen grew past Janino's 64 KB method
+        # limit (1700+ references), and every route write spent ~100 s
+        # attempting and failing compilation before falling back to
+        # interpreted mode.  Freezing the lineage once makes each write a
+        # scan + tiny filter — and is the reference's own architecture
+        # (the ingest phase reads the materialized NDJSON, never
+        # re-parses; src/elastic.rs:83).  Callers that already
+        # materialized (cache/checkpoint/table read) can pass False.
+        routed = routed.localCheckpoint()
     counts = {
         r[route_col]: r["n_rows"]
         for r in routed.filter(F.col(route_col).isin(pending))
