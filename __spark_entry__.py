@@ -761,20 +761,22 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     emb_srp_buckets        -> emb_bucket_pairs (same SRP signature, + pairs)
 #     emb_ivf_cells          -> emb_ivf_cells_trained (seed assign is its CTE)
 #     events_session_windows -> events_sessions (equality pinned in pytest)
-# * overflow (added after the 50 slots filled):
-#     seq_shard_manifest, seq_exact_dedup, seq_token_contamination
-#     (token-payload ops over the BASELINE.json input_hint table),
-#     events_value_anomalies (windowed z-score flagging)
+# * rotation benches (round-4 slate rotation, VERDICT r3 #1): long-stable
+#   queries (green in CORRECTNESS r01-r03) parked here so the former
+#   overflow ops (seq_shard_manifest, seq_exact_dedup,
+#   seq_token_contamination, events_value_anomalies) get driver-issued
+#   verdicts.  Every op gets a driver verdict at least once across rounds;
+#   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
     "doc_minhash",
     "doc_simhash",
     "emb_srp_buckets",
     "emb_ivf_cells",
     "events_session_windows",
-    "seq_shard_manifest",
-    "seq_exact_dedup",
-    "seq_token_contamination",
-    "events_value_anomalies",
+    "pipeline_routed_tokens_proof",
+    "events_json_path",
+    "doc_rollup_counts",
+    "events_tumbling_counts",
 })
 
 

@@ -249,6 +249,29 @@ def test_global_cumsum_partition_invariant(spark):
         got = {r.k: r.tok_offset for r in packing.global_cumsum(
             df, "k", "v", partitions=parts).collect()}
         assert got == exp, f"partitions={parts}"
+    # INPUT-partitioning invariance: same answer from a reshuffled input
+    # (the r4 data-derived __pid must not depend on physical layout)
+    got = {r.k: r.tok_offset for r in packing.global_cumsum(
+        df.repartition(11), "k", "v", partitions=5).collect()}
+    assert got == exp
+
+
+def test_global_cumsum_single_full_data_exchange(spark):
+    """VERDICT r3 #7: the prefix sum's plan must contain exactly ONE
+    exchange over the full data — the window's hash partition by the
+    data-derived bucket id.  (The old localCheckpoint design paid a range
+    shuffle AND a pid re-shuffle.)"""
+    from ulp_spark.operators import packing
+
+    df = spark.range(0, 5000).select(
+        F.format_string("d-%05d", F.col("id")).alias("k"),
+        (F.col("id") % 97 + 1).alias("v"))
+    out = packing.global_cumsum(df, "k", "v", partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(__pid" in exchanges[0]
+    assert "localCheckpoint" not in plan and "ExistingRDD" not in plan
 
 
 def test_packing_offsets_chunks(spark):
@@ -735,8 +758,12 @@ def test_shard_writer_roundtrip(spark, tmp_path):
     seq = fixtures.sequences(spark, 2_000).select("doc_id", "n_tok")
     path = str(tmp_path / "shards")
     st = 64 * 1024
-    manifest = {r.shard: r for r in sharding.write_shards(
-        seq, path, shard_tokens=st).collect()}
+    # verify=True exercises the post-write audit path (manifest derived
+    # from `assigned` must equal the one aggregated from the re-read
+    # output, shard dtype included) — raises on any mismatch
+    mdf = sharding.write_shards(seq, path, shard_tokens=st, verify=True)
+    assert dict(mdf.dtypes)["shard"] == "bigint"
+    manifest = {r.shard: r for r in mdf.collect()}
     planned = {r.shard: r for r in sharding.shard_manifest(
         seq, shard_tokens=st).collect()}
     assert set(manifest) == set(planned)
@@ -854,3 +881,51 @@ def test_profile_table_approx_within_tolerance_and_no_expand(spark):
         .queryExecution().executedPlan().toString()
     assert "Expand" in plan_exact
     assert "Expand" not in plan_appr
+
+def test_seam_upgrades_to_reliable_checkpoint(spark, tmp_path):
+    """ADVICE r3: localCheckpoint blocks die with their executor, so every
+    seam must flip to a reliable checkpoint when the session has a
+    checkpoint dir — one sc.setCheckpointDir call upgrades the whole repo."""
+    from ulp_spark.session import seam
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    local = seam(df)  # no checkpoint dir in the test session
+    assert local.count() == 100
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        reliable = seam(df, eager=True)
+        assert reliable.count() == 100
+        # reliable checkpoint = rdd-* block dirs under the checkpoint dir
+        import glob as _glob
+        assert _glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
+    finally:
+        none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+        assert sc.getCheckpointDir() is None  # later tests stay on local seams
+
+def test_value_anomalies_single_scan_when_materialized(spark, tmp_path):
+    """VERDICT r3 #5: the stats pass and the probe pass must share one
+    scan of the events — the seamed projection replaces both FileScans;
+    materialize=False keeps the lazy two-scan form."""
+    from ulp_spark.operators import anomaly
+
+    src = str(tmp_path / "ev")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .limit(3000).write.parquet(src)
+    ev = spark.read.parquet(src)
+
+    fused = anomaly.value_anomalies(ev)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert "ExistingRDD" in plan
+
+    lazy = anomaly.value_anomalies(ev, materialize=False)
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert lazy_plan.count("FileScan") == 2  # ("FileScan parquet" lines)
+
+    # identical answers either way
+    key = lambda r: (r.event_id, r.w_day)
+    assert sorted(map(key, fused.collect())) == sorted(map(key, lazy.collect()))

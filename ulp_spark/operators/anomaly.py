@@ -4,12 +4,15 @@ z-score flagging, the telemetry-engine op downstream of the routed sinks
 at routing, a log analytics user's first question after "route it" is
 "which values are abnormal").
 
-Scale shape: two passes over the events, one shuffle total.
-Pass 1 aggregates mean/stddev per (key, tumbling window) — map-side
-combined, output is (keys x windows) rows: TINY next to the events.
-Pass 2 joins the stats back — the stats side broadcasts, so the event
-table is never shuffled.  This is the batch form; the same groupBy over
-``F.window`` runs as a streaming aggregation with a watermark.
+Scale shape: ONE scan of the events, one shuffle total (VERDICT r3 #5
+closed the double scan).  The projected event frame (id, key, value,
+window start — the only columns either pass needs) is seam-materialized
+once; pass 1 aggregates mean/stddev per (key, tumbling window) over it —
+map-side combined, output is (keys x windows) rows: TINY next to the
+events.  Pass 2 joins the stats back to the SAME materialized frame —
+the stats side broadcasts, so the event table is never shuffled.  This
+is the batch form; the same groupBy over ``F.window`` runs as a
+streaming aggregation with a watermark.
 
 Determinism/oracle parity: population stddev (``stddev_pop``) and the
 z-score are rounded to 6 dp on both engines; a window with stddev 0
@@ -49,14 +52,31 @@ def value_anomalies(
     df: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
     val_col: str = "value", id_col: str = "event_id",
     window: str = "1 day", z: float = Z_THRESHOLD,
+    materialize: bool = True,
 ) -> DataFrame:
     """Rows whose value deviates more than ``z`` population stddevs from
     their (key, window) mean.  Returns (id, key, w_start, value, zscore)
-    for anomalous rows only; constant windows (std = 0) flag nothing."""
-    stats = window_stats(df, ts_col, key_col, val_col, window)
+    for anomalous rows only; constant windows (std = 0) flag nothing.
+
+    ``materialize`` seams the projected event frame so the stats pass and
+    the probe pass share ONE scan (session.seam: reliable checkpoint when
+    a checkpoint dir is set, localCheckpoint otherwise); ``False`` keeps
+    the two-scan lazy form for callers whose upstream is already
+    materialized (e.g. the pipeline's checkpointed parse output)."""
+    from ulp_spark.session import seam
+
     evw = df.select(
         F.col(id_col), F.col(key_col), F.col(val_col).cast("double").alias("v"),
         F.window(F.col(ts_col), window)["start"].alias("w_start"),
+    )
+    if materialize:
+        evw = seam(evw)
+    stats = (
+        evw.groupBy(key_col, "w_start")
+        .agg(
+            F.round(F.avg("v"), ROUND).alias("mean"),
+            F.round(F.stddev_pop("v"), ROUND).alias("std"),
+        )
     )
     joined = evw.join(F.broadcast(stats), [key_col, "w_start"])
     zscore = F.round(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ulp_spark.session import seam
+
 SHINGLE = 5
 P = 2147483647  # 2^31 - 1 (Mersenne prime)
 # (a, b) pairs — deterministic, coprime with P.
@@ -161,9 +163,11 @@ def minhash_candidates(
         # S5 seam: the band table feeds the count aggregate AND both sides
         # of the pair self-join — without this seam the md5/shingle/minhash
         # projection is recomputed three times (PLANS.md round-2 accepted
-        # cost, now closed).  localCheckpoint here; at cluster scale this
-        # is the parquet signature table written once per corpus snapshot.
-        bands = bands.localCheckpoint(eager=False)
+        # cost, now closed).  session.seam: reliable checkpoint when a
+        # checkpoint dir is set (survives executor loss), localCheckpoint
+        # otherwise; at cluster scale this is the parquet signature table
+        # written once per corpus snapshot.
+        bands = seam(bands)
     ok = (
         bands.groupBy("band", "bk")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -342,7 +346,7 @@ def simhash_candidates(
     if materialize:
         # same S5 seam as minhash_candidates: one signature computation,
         # three consumers (count agg + both self-join sides)
-        bands = bands.localCheckpoint(eager=False)
+        bands = seam(bands)
     ok = (
         bands.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))

@@ -89,10 +89,17 @@ def parse_lines(
       matching pattern — ``regexp_replace`` rewrites the line to its
       groups joined by ``GROUP_SEP`` (0x01), then a literal split +
       ``element_at`` per field.  k fields cost one match + one split
-      instead of k full matches.  Caveat (documented contract): a GROUP
-      whose text contains 0x01 would shift the split — impossible for
-      ``\\S``-class groups like these; choose a different separator for
-      patterns that can capture control characters.
+      instead of k full matches.  Guarded (ADVICE r3): ``\\S``-class and
+      ``[^"]*`` groups CAN capture a literal 0x01, which would shift the
+      split — so each row checks ``size(split) == len(fields)`` and
+      falls back to per-field ``regexp_extract`` on mismatch (CASE
+      branches evaluate lazily, so clean rows — the overwhelming
+      majority — still pay one match + one split; a poisoned row pays
+      the old k-match price but parses CORRECTLY instead of silently
+      shifting every subsequent field).  Any 0x01 inside a group always
+      inflates the split count (k groups joined by k-1 separators yield
+      exactly k parts only when no group contains the separator), so the
+      guard cannot miss.
     * ``"extract"``: classic ``regexp_extract`` per field (k full regex
       executions per row); no separator caveat, kept as the fallback and
       as the shape mirrored by the DuckDB twin ``parse_sql``.
@@ -124,10 +131,18 @@ def parse_lines(
             for p in reversed(patterns):
                 if f in p.fields:
                     idx = p.fields.index(f) + 1
-                    value = F.when(
-                        F.col("parser") == p.name,
-                        F.element_at(F.col(f"__g_{p.name}"), idx),
-                    ).otherwise(value)
+                    clean = F.size(F.col(f"__g_{p.name}")) == len(p.fields)
+                    value = (
+                        F.when(
+                            (F.col("parser") == p.name) & clean,
+                            F.element_at(F.col(f"__g_{p.name}"), idx),
+                        )
+                        .when(  # group contained GROUP_SEP: slow-but-correct
+                            F.col("parser") == p.name,
+                            F.regexp_extract(line, p.regex, idx),
+                        )
+                        .otherwise(value)
+                    )
             value_cols.append(value.alias(f))
         stage2 = stage1.select(
             "*", F.col("parser").isNull().alias("parse_error"), *value_cols

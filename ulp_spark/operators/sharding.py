@@ -4,8 +4,9 @@ into the files a trainer actually streams (operates on the BASELINE.json
 input_hint table ``(doc_id, tokens, n_tok, source)``).
 
 Shard id = global token start offset // shard_tokens, built on the same
-distributed prefix sum as :mod:`packing` (range partition -> local cumsum
--> driver prefix of per-partition totals; no single-reducer window).  A
+distributed prefix sum as :mod:`packing` (data-derived range buckets ->
+local cumsum -> driver prefix of per-bucket totals; no single-reducer
+window, one full-data exchange total).  A
 sequence straddling a budget boundary belongs to the shard its FIRST
 token falls in, so real shard sizes are ``shard_tokens`` +- one max
 sequence length — the standard Megatron-style snap, documented contract.
@@ -24,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ulp_spark.operators.packing import global_cumsum
+from ulp_spark.session import seam
 
 SHARD_TOKENS = 1 << 20  # ~1M tokens per shard
 
@@ -73,27 +75,55 @@ def shard_manifest_sql(
     """
 
 
+def _manifest_agg(assigned: DataFrame, order_col: str, len_col: str
+                  ) -> DataFrame:
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(F.col(len_col).cast("bigint")).alias("n_tokens"),
+        F.min(order_col).alias("first_doc"),
+        F.max(order_col).alias("last_doc"),
+    )
+
+
 def write_shards(
     df: DataFrame, path: str, order_col: str = "doc_id",
     len_col: str = "n_tok", shard_tokens: int = SHARD_TOKENS,
     max_records_per_file: int = 1_000_000,
+    verify: bool = False,
 ) -> DataFrame:
     """Write the corpus as shard-partitioned parquet; returns the manifest.
 
     ``maxRecordsPerFile`` bounds individual file sizes inside a shard
     directory (file-size hygiene at 100 TB: a trainer wants many
-    mid-sized files per shard, not one monolith per task)."""
-    assigned = shard_assign(df, order_col, len_col, shard_tokens)
+    mid-sized files per shard, not one monolith per task).
+
+    The returned manifest is aggregated from the SAME ``assigned`` frame
+    that was written (VERDICT/ADVICE r3: the old default re-read the
+    written parquet — a full second scan of the corpus per shard write,
+    and partition-column inference downcast ``shard`` to int).  The
+    ``assigned`` frame is seam-materialized before the write so the
+    manifest aggregation reuses its materialized blocks instead of
+    recomputing the prefix sum — one corpus scan total.  ``verify=True``
+    additionally re-reads the written output and raises if its manifest
+    differs (post-write audit: pay the second scan only when asked), with
+    ``shard`` cast back to bigint so the schemas compare equal.
+    """
+    assigned = seam(shard_assign(df, order_col, len_col, shard_tokens))
     (
         assigned.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("shard")
         .parquet(path)
     )
-    written = df.sparkSession.read.parquet(path)
-    return written.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_seqs"),
-        F.sum(F.col(len_col).cast("bigint")).alias("n_tokens"),
-        F.min(order_col).alias("first_doc"),
-        F.max(order_col).alias("last_doc"),
-    )
+    manifest = _manifest_agg(assigned, order_col, len_col)
+    if verify:
+        written = df.sparkSession.read.parquet(path) \
+            .withColumn("shard", F.col("shard").cast("bigint"))
+        audit = _manifest_agg(written, order_col, len_col)
+        diff = manifest.exceptAll(audit).union(audit.exceptAll(manifest))
+        bad = diff.limit(1).collect()
+        if bad:
+            raise RuntimeError(
+                f"write_shards verify failed: manifest/output mismatch, "
+                f"first diff row {bad[0].asDict()}")
+    return manifest

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ulp_spark.session import seam
+
 NBITS = 8
 
 
@@ -429,7 +431,7 @@ def embedding_near_dup(
     if materialize:
         # same S5 seam as dedup.minhash_candidates: one SRP-signature
         # computation shared by the count agg and both self-join sides
-        sig = sig.localCheckpoint(eager=False)
+        sig = seam(sig)
     ok = (
         sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
         .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))

@@ -44,6 +44,28 @@ _DEFAULTS = {
 }
 
 
+def seam(df, eager: bool = False):
+    """Materialization seam for a frame consumed by multiple downstream
+    jobs (the pipeline's S5 seam, generalized — dedup/similarity band
+    tables, shard assignment, anomaly stats all reuse it).
+
+    Storage tier is chosen by session config (ADVICE r3): when the
+    SparkContext has a CHECKPOINT DIR configured, use a reliable
+    ``checkpoint`` — blocks live on the checkpoint filesystem and survive
+    executor loss / dynamic-allocation deallocation, the right form on a
+    real cluster.  Otherwise fall back to ``localCheckpoint`` — blocks
+    live only in executor storage: fast and fine on local[] / static
+    single-JVM runs (this sandbox), but executor loss makes the lineage
+    unrecoverable, so cluster deployments should set
+    ``sc.setCheckpointDir(...)`` (one line) to flip every seam in the
+    repo to the durable path.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def get_spark(
     app_name: str = "ulp_spark",
     master: str | None = None,
