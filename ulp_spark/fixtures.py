@@ -68,6 +68,41 @@ def sequences(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     )
 
 
+def clustered_embeddings(
+    spark: SparkSession, n: int, dim: int = 64, clusters: int = 20,
+    noise_micro: int = 4800, partitions: int | None = None,
+) -> DataFrame:
+    """T4: deterministic CLUSTERABLE embeddings (vec_id, embedding, label).
+
+    The sf* ``embeddings.parquet`` tables are isotropic noise (measured:
+    within-label mean cosine 0.0012 vs 0.0010 across — the label column
+    carries no geometric signal), which bounds ANY partition-and-probe
+    ANN at recall ~= frac_scanned.  This fixture provides the clusterable
+    regime: vector = integer-grid centroid of ``id % clusters`` plus
+    deterministic per-(id, dim) uniform noise (``noise_micro``/1e6 per
+    component, default 0.0048 x 1000 = +-4.8 against centroid components
+    in [-11, 11]), giving within-cluster cosine ~0.85, across ~0, and
+    top-10 neighbors 100% within-cluster at n=2000 — the regime where an
+    IVF index should shine and where recall targets are meaningful.
+
+    Pure column expressions like every fixture here: same bits at any
+    scale or partitioning.  The centroid grid uses mod 23 (not 19) so no
+    two of the first 20 clusters share a centroid.
+    """
+    df = spark.range(0, n, 1,
+                     partitions or spark.sparkContext.defaultParallelism)
+    return df.select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), j -> cast("
+            f" ((id % {clusters})*41 + j*17) % 23 - 11"
+            f" + (((id*96557 + j*40503) % 2000) - 1000) * {noise_micro}/1000000.0"
+            f" as float))"
+        ).alias("embedding"),
+        (F.col("id") % clusters).cast("int").alias("label"),
+    )
+
+
 def _source_expr(id_col):
     b = id_col % 100
     return (
