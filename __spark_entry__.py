@@ -564,6 +564,18 @@ def _q_seq_token_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "tokens", "doc_id", F.col("source") == "wiki")
 
 
+def _q_seq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution drift vs the corpus (KL nats +
+    total-variation distance) over the input_hint table — the mixture
+    monitor a 10^12-sequence pipeline runs per ingest batch.  One pass
+    over the exploded tokens; corpus distribution re-aggregated from the
+    (source, token) partial counts, never a second corpus scan."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.source_token_drift(seq, "tokens", "source")
+
+
 def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed anomaly detection: rows > 3 population stddevs from their
     (event_type, day) mean; stats side broadcast, events never shuffled."""
@@ -768,6 +780,7 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   verdicts.  Every op gets a driver verdict at least once across rounds;
 #   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
+    "seq_source_drift",  # r4 addition; gate full at 50 — pytest-parity-gated
     "doc_minhash",
     "doc_simhash",
     "emb_srp_buckets",
@@ -829,6 +842,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing_offsets": _q_seq_packing_offsets,
         "seq_shard_manifest": _q_seq_shard_manifest,
         "seq_exact_dedup": _q_seq_exact_dedup,
+        "seq_source_drift": _q_seq_source_drift,
         "seq_token_contamination": _q_seq_token_contamination,
         "events_value_anomalies": _q_events_value_anomalies,
         "doc_split_counts": _q_doc_split_counts,
@@ -914,6 +928,13 @@ def _seq_contamination_sql() -> str:
     return tokens.token_contamination_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
         "source = 'wiki'")
+
+
+def _source_drift_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.source_token_drift_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "source")
 
 
 def _anomalies_sql() -> str:
@@ -1293,6 +1314,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_exact_dedup": _seq_dedup_sql(),
         "seq_token_contamination": _seq_contamination_sql(),
         "events_value_anomalies": _anomalies_sql(),
+        "seq_source_drift": _source_drift_sql(),
         "doc_split_counts": _split_counts_sql(),
         "doc_length_quantiles": """
             SELECT source,

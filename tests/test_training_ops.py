@@ -978,3 +978,33 @@ def test_clustered_embeddings_deterministic_and_clustered(spark):
     )
     mc = {r.same: r.mc for r in pairs.collect()}
     assert mc[True] > 0.6 and mc[False] < 0.4
+
+
+def test_source_token_drift_identical_null_and_skewed(spark):
+    """A source with the corpus's exact distribution reads kl=0 / tv=0
+    after accounting for its own weight; a disjoint-vocab source has the
+    maximal tv (its mass + the corpus mass outside its support, halved);
+    null source keys survive as the '__null__' bucket."""
+    import math
+
+    from ulp_spark.operators import tokens
+
+    # a, b emit identical distributions {1: 2, 2: 2}; c is disjoint {9: 4}
+    rows = [
+        (1, [1, 1, 2, 2], "a"),
+        (2, [1, 1, 2, 2], "b"),
+        (3, [9, 9, 9, 9], None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, source string")
+    got = {r.source: r for r in tokens.source_token_drift(df, "tokens", "source").collect()}
+    assert set(got) == {"a", "b", "__null__"}
+    assert all(r.n_tokens == 4 for r in got.values())
+    # corpus: P(1)=P(2)=1/3, P(9)=1/3.  a: P_s(1)=P_s(2)=1/2.
+    # kl_a = 2 * 1/2 * ln((1/2)/(1/3)) = ln(1.5)
+    assert got["a"].kl_vs_corpus == round(math.log(1.5), 6)
+    assert got["a"].kl_vs_corpus == got["b"].kl_vs_corpus
+    # tv_a = (2*|1/2 - 1/3| + (1 - 2/3)) / 2 = 1/3
+    assert got["a"].tv_dist == round(1 / 3, 6)
+    # null bucket: P_s(9)=1, P(9)=1/3 -> kl = ln(3); tv = (2/3 + 2/3)/2
+    assert got["__null__"].kl_vs_corpus == round(math.log(3.0), 6)
+    assert got["__null__"].tv_dist == round(2 / 3, 6)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ulp_spark.session import seam
+
 GRAM = 8  # contamination n-gram length, in tokens
 
 
@@ -128,4 +130,93 @@ def token_contamination_sql(
                (h.{id_col} IS NOT NULL) AS is_contaminated
         FROM (SELECT {id_col} FROM {table} WHERE NOT ({eval_pred_sql})) t
         LEFT JOIN hits h USING ({id_col})
+    """
+
+def source_token_drift(
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram-distribution drift vs the whole corpus — the
+    mixture-monitoring stat a training-data pipeline watches per ingest
+    batch (a source whose token distribution walks away from the corpus
+    is the first sign of a scraper change, encoding bug, or poisoning).
+
+    Returns one row per source: (source, n_tokens, kl_vs_corpus, tv_dist)
+    where kl = sum_t P_s(t) * ln(P_s(t) / P(t)) (nats) and tv is total
+    variation distance = 0.5 * sum_t |P_s(t) - P(t)|, both exact and
+    rounded to 6 dp for cross-engine parity.
+
+    Scale shape: ONE pass over the exploded tokens into a (source, token)
+    count aggregate — map-side combine collapses the explosion to
+    |sources| x |vocab| rows before the only full shuffle; the corpus
+    distribution is RE-AGGREGATED FROM THOSE PARTIAL COUNTS (never a
+    second scan of the corpus), and every join downstream is at vocab
+    scale.  TV needs care: summing |P_s - P| over only the tokens a
+    source HAS misses the mass of tokens it lacks; the missing mass is
+    added in closed form as (1 - sum_{t in s} P(t)) without materializing
+    the source x vocab cross product.  Null sources are kept as the
+    '__null__' bucket (a drifting null-source bucket is itself a signal;
+    a raw NULL key would silently drop out of the equi-joins on BOTH
+    engines).
+    """
+    st = (
+        df.select(F.coalesce(F.col(source_col), F.lit("__null__"))
+                  .alias("source"),
+                  F.explode(F.col(tokens_col)).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    st = seam(st)  # feeds three vocab-scale aggregations
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t_tot = st.groupBy("t").agg(F.sum("n_st").alias("n_t"))
+    n_all = st.agg(F.sum("n_st")).collect()[0][0]
+    ps = F.col("n_st") / F.col("n_s")          # P_s(t)
+    p = F.col("n_t") / F.lit(float(n_all))     # P(t)
+    per_tok = (
+        st.join(s_tot, "source")
+        .join(t_tot, "t")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.sum(ps * F.log(ps / p)).alias("kl_raw"),
+            F.sum(F.abs(ps - p)).alias("tv_present"),
+            F.sum(p).alias("p_mass_present"),
+        )
+    )
+    return per_tok.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("kl_raw"), 6).alias("kl_vs_corpus"),
+        # tokens the source never emits contribute |0 - P(t)| = the
+        # corpus mass outside the source's support
+        F.round((F.col("tv_present") + (F.lit(1.0) - F.col("p_mass_present")))
+                / 2.0, 6).alias("tv_dist"),
+    )
+
+
+def source_token_drift_sql(
+    table: str, tokens_col: str = "tokens", source_col: str = "source",
+) -> str:
+    """DuckDB twin (plain CTE re-derivation, same closed-form TV fix)."""
+    return f"""
+        WITH ex AS (
+          SELECT coalesce({source_col}, '__null__') AS source,
+                 unnest({tokens_col}) AS t
+          FROM {table}
+        ),
+        st AS (
+          SELECT source, t, count(*) AS n_st FROM ex GROUP BY 1, 2
+        ),
+        s_tot AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY source),
+        t_tot AS (SELECT t, sum(n_st) AS n_t FROM st GROUP BY t),
+        n_all AS (SELECT sum(n_st)::DOUBLE AS n FROM st)
+        SELECT st.source,
+               CAST(max(s_tot.n_s) AS BIGINT) AS n_tokens,
+               round(sum((st.n_st / s_tot.n_s)
+                         * ln((st.n_st / s_tot.n_s)
+                              / (t_tot.n_t / n_all.n))), 6) AS kl_vs_corpus,
+               round((sum(abs(st.n_st / s_tot.n_s - t_tot.n_t / n_all.n))
+                      + (1.0 - sum(t_tot.n_t / n_all.n))) / 2.0, 6) AS tv_dist
+        FROM st
+        JOIN s_tot USING (source) JOIN t_tot USING (t) CROSS JOIN n_all
+        GROUP BY st.source
     """
