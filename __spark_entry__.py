@@ -576,6 +576,17 @@ def _q_seq_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.source_token_drift(seq, "tokens", "source")
 
 
+def _q_seq_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence duplicated-window coverage (ExactSubstr signal on
+    token ids): fraction of each sequence's distinct 8-token windows that
+    occur in another sequence.  Distinct (id, gram) pairs seamed once;
+    census + rollup both read the seam; no pair materialization."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.duplicate_gram_coverage(seq, "tokens", "doc_id")
+
+
 def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed anomaly detection: rows > 3 population stddevs from their
     (event_type, day) mean; stats side broadcast, events never shuffled."""
@@ -781,6 +792,7 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
     "seq_source_drift",  # r4 addition; gate full at 50 — pytest-parity-gated
+    "seq_dup_gram_coverage",  # r4 addition; same overflow rule
     "doc_minhash",
     "doc_simhash",
     "emb_srp_buckets",
@@ -843,6 +855,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_shard_manifest": _q_seq_shard_manifest,
         "seq_exact_dedup": _q_seq_exact_dedup,
         "seq_source_drift": _q_seq_source_drift,
+        "seq_dup_gram_coverage": _q_seq_dup_gram_coverage,
         "seq_token_contamination": _q_seq_token_contamination,
         "events_value_anomalies": _q_events_value_anomalies,
         "doc_split_counts": _q_doc_split_counts,
@@ -935,6 +948,13 @@ def _source_drift_sql() -> str:
 
     return tokens.source_token_drift_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "source")
+
+
+def _dup_gram_coverage_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.duplicate_gram_coverage_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id")
 
 
 def _anomalies_sql() -> str:
@@ -1315,6 +1335,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_token_contamination": _seq_contamination_sql(),
         "events_value_anomalies": _anomalies_sql(),
         "seq_source_drift": _source_drift_sql(),
+        "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
         "doc_split_counts": _split_counts_sql(),
         "doc_length_quantiles": """
             SELECT source,

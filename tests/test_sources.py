@@ -168,3 +168,25 @@ def test_csv_and_gzip_detection_and_readers(spark, tmp_path):
     assert dict(csv.dtypes)["x"] == "int"
     assert set(tables["tsv"].columns) == {"x", "y"}
     assert tables["tsv"].count() == 0  # header-only file
+
+
+def test_orc_detection_and_reader(spark, tmp_path):
+    """Round-4 format breadth: ORC classifies by its 'ORC' magic (even
+    with a lying extension) and reads back typed through read_tables."""
+    from ulp_spark.sources import registry
+
+    src = spark.createDataFrame([(1, "foo"), (2, "bar")], "x int, y string")
+    orc_dir = tmp_path / "orcdata"
+    src.coalesce(1).write.orc(str(orc_dir))
+    part = next(p for p in orc_dir.iterdir() if p.name.endswith(".orc"))
+    data = part.read_bytes()
+    assert data.startswith(b"ORC")
+    renamed = tmp_path / "mystery.bin"  # magic wins over extension
+    renamed.write_bytes(data)
+
+    plan = registry.plan_scan(str(tmp_path / "mystery.*"))
+    assert [p.split("/")[-1] for p in plan.groups.get("orc", [])] == \
+        ["mystery.bin"]
+    tables = registry.read_tables(spark, plan)
+    got = sorted((r.x, r.y) for r in tables["orc"].collect())
+    assert got == [(1, "foo"), (2, "bar")]

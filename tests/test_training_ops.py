@@ -1008,3 +1008,32 @@ def test_source_token_drift_identical_null_and_skewed(spark):
     # null bucket: P_s(9)=1, P(9)=1/3 -> kl = ln(3); tv = (2/3 + 2/3)/2
     assert got["__null__"].kl_vs_corpus == round(math.log(3.0), 6)
     assert got["__null__"].tv_dist == round(2 / 3, 6)
+
+
+def test_duplicate_gram_coverage_hand_computed(spark):
+    """Constructed corpus, k=3: shared windows count, unique ones don't,
+    intra-doc repeats collapse to one distinct gram, short rows vanish."""
+    from ulp_spark.operators import tokens
+
+    rows = [
+        # doc 1: windows (1,2,3),(2,3,4),(3,4,5) — (1,2,3) shared w/ doc 2
+        (1, [1, 2, 3, 4, 5]),
+        # doc 2: intra-doc repeat (9,9,9)x2 collapses; (1,2,3) shared
+        (2, [9, 9, 9, 9, 1, 2, 3]),
+        # doc 3: all-unique windows
+        (3, [100, 101, 102, 103, 104]),
+        # doc 4: shorter than k -> no windows, omitted from output
+        (4, [1, 2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r.doc_id: r for r in
+           tokens.duplicate_gram_coverage(df, "tokens", "doc_id", k=3)
+           .collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_grams, got[1].n_dup_grams) == (3, 1)
+    assert got[1].dup_frac == round(1 / 3, 6)
+    # doc 2 windows: (9,9,9)x2, (9,9,1), (9,1,2), (1,2,3) -> 4 distinct,
+    # only (1,2,3) crosses documents
+    assert (got[2].n_grams, got[2].n_dup_grams) == (4, 1)
+    assert (got[3].n_grams, got[3].n_dup_grams) == (3, 0)
+    assert got[3].dup_frac == 0.0

@@ -132,6 +132,73 @@ def token_contamination_sql(
         LEFT JOIN hits h USING ({id_col})
     """
 
+def duplicate_gram_coverage(
+    df: DataFrame, tokens_col: str, id_col: str, k: int = GRAM,
+) -> DataFrame:
+    """Per-sequence fraction of its distinct token ``k``-gram windows that
+    also occur in at least one OTHER sequence — the ExactSubstr dedup
+    signal (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better") at window granularity, on token ids.  Where
+    ``sequence_exact_dedup`` catches bitwise-identical sequences and
+    ``token_contamination`` catches eval overlap, this scores PARTIAL
+    cross-document duplication (boilerplate, quoted spans, template text)
+    so a curation pass can drop or de-weight high-coverage rows.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac) for every sequence with
+    at least one full window (rows shorter than ``k`` tokens have no
+    windows and are omitted — same rule on both engines).
+
+    Scale shape: explode to DISTINCT (id, gram-md5) pairs (map-side
+    partial distinct collapses intra-doc repeats before the shuffle),
+    seam-materialized ONCE to feed both the gram census and the per-doc
+    rollup; the census is a count aggregate on the 16-byte key, and the
+    join back is key-only (AQE broadcasts the census when it fits,
+    skew-splits otherwise).  Token arrays never leave the scan stage;
+    no posting lists, no pair materialization.
+    """
+    pairs = (
+        df.select(F.col(id_col),
+                  F.explode(token_grams(F.col(tokens_col), k)).alias("gk"))
+        .distinct()
+    )
+    pairs = seam(pairs)  # feeds the census AND the per-doc rollup
+    census = pairs.groupBy("gk").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (census.filter(F.col("n_docs") > 1)
+           .select("gk", F.lit(True).alias("is_dup")))
+    n_dup = F.coalesce(F.sum(F.col("is_dup").cast("bigint")),
+                       F.lit(0).cast("bigint"))
+    return (
+        pairs.join(dup, "gk", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             n_dup.alias("n_dup_grams"))
+        .select(id_col, "n_grams", "n_dup_grams",
+                F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+                .alias("dup_frac"))
+    )
+
+
+def duplicate_gram_coverage_sql(
+    table: str, tokens_col: str, id_col: str, k: int = GRAM,
+) -> str:
+    """DuckDB twin: same distinct-pair -> census -> rollup derivation."""
+    grams = token_grams_sql(tokens_col, k)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT {id_col}, gk FROM (
+            SELECT {id_col}, unnest({grams}) AS gk FROM {table})
+        ),
+        census AS (SELECT gk, count(*) AS n_docs FROM pairs GROUP BY gk)
+        SELECT {id_col}, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dup_grams,
+               round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS dup_frac
+        FROM pairs JOIN census USING (gk)
+        GROUP BY {id_col}
+    """
+
+
 def source_token_drift(
     df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
 ) -> DataFrame:

@@ -33,12 +33,14 @@ from pyspark.sql import functions as F
 # the reference's match on the 8-byte header.
 MAGIC: list[tuple[str, bytes]] = [
     ("parquet", b"PAR1"),
+    ("orc", b"ORC"),
     ("ndjson", b"{"),
     ("kv_log", b""),  # fallthrough handled by extension below
 ]
 GZIP_MAGIC = b"\x1f\x8b"
 EXT_FALLBACK = {
     ".parquet": "parquet",
+    ".orc": "orc",
     ".json": "ndjson",
     ".jsonl": "ndjson",
     ".ndjson": "ndjson",
@@ -131,6 +133,8 @@ def read_tables(
     out: dict[str, DataFrame] = {}
     if plan.groups.get("parquet"):
         out["parquet"] = spark.read.parquet(*plan.groups["parquet"])
+    if plan.groups.get("orc"):
+        out["orc"] = spark.read.orc(*plan.groups["orc"])
     # comma and tab files never share one reader: a .tsv header parsed
     # under the comma delimiter becomes a bogus data row that degrades
     # the whole group's inferred schema to strings
