@@ -190,3 +190,28 @@ def test_orc_detection_and_reader(spark, tmp_path):
     tables = registry.read_tables(spark, plan)
     got = sorted((r.x, r.y) for r in tables["orc"].collect())
     assert got == [(1, "foo"), (2, "bar")]
+
+
+def test_cast_per_route_reads_seam_not_derivation(spark):
+    """Round-4 wedge regression pin: cast_per_route must put a seam
+    between the parse derivation and its per-route filter loop — pushing
+    filter(route == r) through the unmaterialized parse tree re-inlines
+    the whole derivation per route and blows Janino's 64 KB method limit
+    (one route's collect measured at 490 s; with the seam, seconds)."""
+    p = pipeline.build(spark, n=200)
+    ok = p.routed.filter(~F.col("parse_error"))
+    fields = parse.all_fields(parse.DEFAULT_PATTERNS)
+    schemas = lattice.route_schemas(ok, fields)
+
+    tables = route_cast.cast_per_route(ok, schemas, fields, keep=["doc_id"])
+    one = next(iter(tables.values()))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # reads the seam
+    # the fixture generator (spark.range) never re-inlines below the seam
+    assert "Range (" not in plan
+
+    lazy = route_cast.cast_per_route(
+        ok, schemas, fields, keep=["doc_id"], materialize=False)
+    lazy_plan = next(iter(lazy.values()))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Range (" in lazy_plan  # opt-out keeps the lazy derivation

@@ -125,8 +125,26 @@ def cast_per_route(
     fields: list[str],
     route_col: str = "route",
     keep: list[str] | None = None,
+    materialize: bool = True,
 ) -> dict[str, DataFrame]:
-    """Sorted {route: typed DataFrame} — each with its own native schema."""
+    """Sorted {route: typed DataFrame} — each with its own native schema.
+
+    ``materialize`` (default on) puts a :func:`ulp_spark.session.seam`
+    between the input and the per-route loop — REQUIRED for an
+    unmaterialized parse derivation.  This is the same fan-out shape as
+    ``manifest.resume_fanout``: each route's ``filter(route == r)`` is
+    pushed through every projection below it, substituting the full
+    derivation into the filter, and the resulting whole-stage-codegen
+    class blows Janino's 64 KB method limit (observed again in round 4
+    after the guarded replace-parse widened the tree: ONE route's collect
+    took 490 s with ``CodeGenerator: Failed to compile`` fallbacks; with
+    the seam the whole map collects in seconds).  Callers whose input is
+    already materialized (cache/checkpoint/table read) can pass False.
+    """
+    if materialize:
+        from ulp_spark.session import seam
+
+        df = seam(df)
     out: dict[str, DataFrame] = {}
     for r in sorted(route_schemas):
         schema = route_schemas[r]
