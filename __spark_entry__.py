@@ -583,8 +583,23 @@ def _q_seq_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     census + rollup both read the seam; no pair materialization."""
     from ulp_spark.operators import tokens
 
-    seq = fixtures.sequences(spark, N_FIXTURE)
+    # 2,500 rows, not N_FIXTURE: ~640k distinct (id, gram) pairs is plenty
+    # to exercise census + rollup on both engines; at 10k the DuckDB twin
+    # alone costs ~80 s of suite time for no extra coverage
+    seq = fixtures.sequences(spark, 2_500)
     return tokens.duplicate_gram_coverage(seq, "tokens", "doc_id")
+
+
+def _q_seq_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (XLM-R exponentiated sampling,
+    alpha=0.5) over the input_hint table: per-source natural share,
+    temperature share, up-weight, and a 1M-token budget allocation.
+    One aggregate to |sources| rows; normalizer is a 1-row broadcast."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.source_temperature_weights(
+        seq, "n_tok", "source", alpha=0.5, budget=1_000_000)
 
 
 def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +808,7 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PYTEST_ONLY = frozenset({
     "seq_source_drift",  # r4 addition; gate full at 50 — pytest-parity-gated
     "seq_dup_gram_coverage",  # r4 addition; same overflow rule
+    "seq_temperature_mix",  # r4 addition; same overflow rule
     "doc_minhash",
     "doc_simhash",
     "emb_srp_buckets",
@@ -856,6 +872,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_exact_dedup": _q_seq_exact_dedup,
         "seq_source_drift": _q_seq_source_drift,
         "seq_dup_gram_coverage": _q_seq_dup_gram_coverage,
+        "seq_temperature_mix": _q_seq_temperature_mix,
         "seq_token_contamination": _q_seq_token_contamination,
         "events_value_anomalies": _q_events_value_anomalies,
         "doc_split_counts": _q_doc_split_counts,
@@ -953,8 +970,17 @@ def _source_drift_sql() -> str:
 def _dup_gram_coverage_sql() -> str:
     from ulp_spark.operators import tokens
 
+    # 2,500 rows to mirror _q_seq_dup_gram_coverage (suite-time trade)
     return tokens.duplicate_gram_coverage_sql(
-        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id")
+        f"({fixtures.sequences_sql(2_500)})", "tokens", "doc_id")
+
+
+def _temperature_mix_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.source_temperature_weights_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "source",
+        alpha=0.5, budget=1_000_000)
 
 
 def _anomalies_sql() -> str:
@@ -1336,6 +1362,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "events_value_anomalies": _anomalies_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
+        "seq_temperature_mix": _temperature_mix_sql(),
         "doc_split_counts": _split_counts_sql(),
         "doc_length_quantiles": """
             SELECT source,

@@ -212,6 +212,9 @@ def test_cast_per_route_reads_seam_not_derivation(spark):
 
     lazy = route_cast.cast_per_route(
         ok, schemas, fields, keep=["doc_id"], materialize=False)
+    # analyzed (pre-optimizer) plan: running the optimizer over the
+    # unmaterialized per-route tree is itself the 100 s+ pathology this
+    # test pins, so the opt-out branch must not pay it here
     lazy_plan = next(iter(lazy.values()))._jdf.queryExecution() \
-        .executedPlan().toString()
+        .analyzed().toString()
     assert "Range (" in lazy_plan  # opt-out keeps the lazy derivation

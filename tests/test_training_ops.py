@@ -1037,3 +1037,29 @@ def test_duplicate_gram_coverage_hand_computed(spark):
     assert (got[2].n_grams, got[2].n_dup_grams) == (4, 1)
     assert (got[3].n_grams, got[3].n_dup_grams) == (3, 0)
     assert got[3].dup_frac == 0.0
+
+
+def test_source_temperature_weights_hand_computed(spark):
+    """alpha=0.5 over token counts 100 ('a') and 400 (null source):
+    sqrt weights 10 and 20 give temperature shares 1/3 and 2/3 vs natural
+    shares 0.2 and 0.8 — the low-resource source is up-weighted 1.67x.
+    budget_tokens uses floor on the IEEE product (identical both engines)."""
+    import math
+
+    from ulp_spark.operators import tokens
+
+    rows = [(1, 60, "a"), (2, 40, "a"), (3, 400, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int, source string")
+    got = {r.source: r for r in tokens.source_temperature_weights(
+        df, "n_tok", "source", alpha=0.5, budget=300).collect()}
+    assert set(got) == {"a", "__null__"}
+    a, nul = got["a"], got["__null__"]
+    assert (a.n_tokens, nul.n_tokens) == (100, 400)
+    assert a.p_natural == 0.2 and nul.p_natural == 0.8
+    assert a.q_temp == round(10 / 30, 6) and nul.q_temp == round(20 / 30, 6)
+    assert a.up_weight == round((10 / 30) / 0.2, 6)
+    assert nul.up_weight == round((20 / 30) / 0.8, 6)
+    assert a.budget_tokens == math.floor(10.0 / 30.0 * 300.0)
+    assert nul.budget_tokens == math.floor(20.0 / 30.0 * 300.0)
+    # shares always sum to 1 (up to rounding)
+    assert abs(a.q_temp + nul.q_temp - 1.0) < 2e-6

@@ -287,3 +287,82 @@ def source_token_drift_sql(
         JOIN s_tot USING (source) JOIN t_tot USING (t) CROSS JOIN n_all
         GROUP BY st.source
     """
+
+
+def source_temperature_weights(
+    df: DataFrame, n_tok_col: str = "n_tok", source_col: str = "source",
+    alpha: float = 0.5, budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based source mixing weights — the multilingual /
+    multi-corpus reweighting scheme (XLM-R's exponentiated sampling,
+    alpha in (0, 1]): a source holding share p of the corpus tokens is
+    sampled with probability q proportional to p**alpha, up-weighting
+    low-resource sources without discarding anything.
+
+    Returns one row per source: (source, n_tokens, p_natural, q_temp,
+    up_weight, budget_tokens?) where q_temp = n_s**alpha / sum_t
+    n_t**alpha (the corpus total cancels algebraically, so no second
+    normalization pass is needed), up_weight = q/p is the per-token
+    sampling multiplier a downstream sampler applies, and budget_tokens =
+    floor(q * budget) when a token budget is given (floor, not round —
+    identical banker's-vs-half-up behavior on both engines).  All ratios
+    rounded to 6 dp for cross-engine parity.
+
+    Scale shape: ONE aggregate over (source, n_tok) — map-side combine
+    collapses to |sources| rows before the only exchange; the normalizer
+    joins back as a single-row broadcast (BroadcastNestedLoopJoin over
+    one row).  Null sources bucket as '__null__' like source_token_drift.
+    """
+    per = (
+        df.select(F.coalesce(F.col(source_col), F.lit("__null__"))
+                  .alias("source"),
+                  F.col(n_tok_col))
+        .groupBy("source")
+        .agg(F.sum(n_tok_col).cast("bigint").alias("n_tokens"))
+    )
+    # |sources| rows after ONE corpus pass; the normalizer aggregate and
+    # the output projection both read the seam, never the corpus again
+    per = seam(per)
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("__N"),
+        F.sum(F.pow("n_tokens", F.lit(alpha))).alias("__Z"),
+    )
+    p = F.col("n_tokens") / F.col("__N")
+    q = F.pow("n_tokens", F.lit(alpha)) / F.col("__Z")
+    cols = [
+        F.col("source"), F.col("n_tokens"),
+        F.round(p, 6).alias("p_natural"),
+        F.round(q, 6).alias("q_temp"),
+        F.round(q / p, 6).alias("up_weight"),
+    ]
+    if budget is not None:
+        cols.append(
+            F.floor(q * F.lit(float(budget))).cast("bigint")
+            .alias("budget_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(*cols)
+
+
+def source_temperature_weights_sql(
+    table: str, n_tok_col: str = "n_tok", source_col: str = "source",
+    alpha: float = 0.5, budget: int | None = None,
+) -> str:
+    """DuckDB twin: same cancelled-normalizer derivation."""
+    budget_col = (
+        f",\n               floor(pow(n_tokens, {alpha}) / t.z * {float(budget)})"
+        f"::BIGINT AS budget_tokens" if budget is not None else ""
+    )
+    return f"""
+        WITH per AS (
+          SELECT coalesce({source_col}, '__null__') AS source,
+                 sum({n_tok_col})::BIGINT AS n_tokens
+          FROM {table} GROUP BY 1
+        ),
+        t AS (SELECT sum(n_tokens)::DOUBLE AS n,
+                     sum(pow(n_tokens, {alpha})) AS z FROM per)
+        SELECT source, n_tokens,
+               round(n_tokens / t.n, 6) AS p_natural,
+               round(pow(n_tokens, {alpha}) / t.z, 6) AS q_temp,
+               round((pow(n_tokens, {alpha}) / t.z)
+                     / (n_tokens / t.n), 6) AS up_weight{budget_col}
+        FROM per CROSS JOIN t
+    """
