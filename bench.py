@@ -29,12 +29,46 @@ from ulp_spark.session import get_spark  # noqa: E402
 SF_SEQS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
 
 
+def _host_section(single_core_s, start, end):
+    """Host-weather label for the run: steal%/busy% over the WHOLE bench
+    (hypervisor contention here appears during multi-core bursts, so an
+    idle pre-run probe under-reports it) plus the pre-run 1-core loop."""
+    out = {"single_core_loop_s": single_core_s}
+    if start and end and len(start) >= 8 and len(end) >= 8:
+        d = [b - a for a, b in zip(start, end)]
+        tot = max(1, sum(d))
+        out["steal_pct_run"] = round(100.0 * d[7] / tot, 2)
+        busy = sum(d) - d[3] - d[4]  # minus idle, iowait
+        out["busy_pct_run"] = round(100.0 * busy / tot, 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     sf = float(sf_name.replace("sf", "") or 0.1) if sf_name.startswith("sf") else 0.1
     n_seqs = int(os.environ.get("ULP_BENCH_SEQS", SF_SEQS.get(sf_name, 1_000_000)))
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count()
+
+    # Host canary BEFORE the JVM spins up: this VM shows hypervisor
+    # steal/contention windows in which every Spark number inflates
+    # 2-4x uniformly (measured 2026-08-17: the same bench 40 s vs 16 s
+    # pipeline wall an hour apart, single-core loop 1.5 s vs 0.9 s).
+    # Recording the canary with every run lets round-over-round
+    # comparisons separate engine changes from host weather.
+    t0c = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i * i
+    single_core_s = round(time.perf_counter() - t0c, 3)
+    def read_stat():
+        try:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:]]
+        except (OSError, ValueError):
+            return None
+
+    stat_start = read_stat()
 
     spark = get_spark("ulp_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -198,6 +232,7 @@ def main() -> None:
         "pipeline_sec": round(pipeline_sec, 3),
         "throughput_seq_per_sec": round(n_seqs / pipeline_sec, 1),
         "cpus": int(cpus),
+        "host": _host_section(single_core_s, stat_start, read_stat()),
         "curation": {
             "docs": n_docs,
             "sec": cur_total,
