@@ -806,9 +806,12 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   verdicts.  Every op gets a driver verdict at least once across rounds;
 #   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
-    "seq_source_drift",  # r4 addition; gate full at 50 — pytest-parity-gated
-    "seq_dup_gram_coverage",  # r4 addition; same overflow rule
-    "seq_temperature_mix",  # r4 addition; same overflow rule
+    # second r4 rotation: the three r4-new token ops take driver slots;
+    # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
+    # park here under the same pytest-parity gate
+    "orders_shipping_priority",
+    "local_supplier_volume",
+    "lineitem_pricing_summary",
     "doc_minhash",
     "doc_simhash",
     "emb_srp_buckets",
