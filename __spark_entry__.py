@@ -602,6 +602,61 @@ def _q_seq_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "n_tok", "source", alpha=0.5, budget=1_000_000)
 
 
+def _q_seq_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: md5(seed:epoch:id) permutation with a
+    gap-free global rank from the distributed two-phase prefix sum (never
+    a single-reducer global window) — the reproducible dataloader-order
+    contract."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE).select("doc_id")
+    return tokens.epoch_order(seq, "doc_id", epoch=1, seed=42)
+
+
+def _q_seq_balanced_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced writer assignment: snake-deal over the global
+    (n_tok desc, id) rank onto 8 fixed writers; per-writer load report.
+    Max-min token load never exceeds the largest single sequence."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE).select("doc_id", "n_tok")
+    return tokens.writer_loads(
+        tokens.balanced_writers(seq, "n_tok", "doc_id", 8))
+
+
+# Fixed vocabulary for the tokenizer-apply query: corpus words + space +
+# letter fallback.  Greedy longest-match; unmatched chars -> unk_id.
+_TOKENIZE_VOCAB = (
+    ["table", "value", "batch", "window", "spark", "query", "the", "row",
+     "agg", "scan", "fast", "slow", "key", "part", "hash", "merge",
+     "sort", "line", " "]
+    + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+)
+
+
+def _q_doc_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (text -> token ids): greedy longest-match over a
+    fixed vocabulary via mapInPandas (broadcast vocab, Arrow batches,
+    zero shuffles) — the step that produces the input_hint token table
+    from the text corpus.  Oracle: the same greedy recurrence as a
+    DuckDB recursive CTE."""
+    from ulp_spark.operators import tokenizer
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return tokenizer.tokenize(d, "text", "doc_id", _TOKENIZE_VOCAB)
+
+
+def _q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate passage REMOVAL (document rewrite): drop every 8-word
+    chunk appearing in >= 2 distinct documents, rebuild each doc from the
+    survivors.  Census on distinct (passage, doc) pairs; anti-join AQE-
+    broadcast when the boiler set is small; one re-assembly exchange."""
+    from ulp_spark.operators import curation
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return curation.strip_boilerplate(d, "text", "doc_id")
+
+
 def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed anomaly detection: rows > 3 population stddevs from their
     (event_type, day) mean; stats side broadcast, events never shuffled."""
@@ -806,6 +861,12 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   verdicts.  Every op gets a driver verdict at least once across rounds;
 #   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
+    # r4 additions landed after the second rotation; gate at its 50-row
+    # cap — pytest-parity-gated, rotation candidates for r5
+    "seq_epoch_order",
+    "seq_balanced_writers",
+    "doc_tokenize",
+    "doc_strip_boilerplate",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -876,6 +937,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_source_drift": _q_seq_source_drift,
         "seq_dup_gram_coverage": _q_seq_dup_gram_coverage,
         "seq_temperature_mix": _q_seq_temperature_mix,
+        "seq_epoch_order": _q_seq_epoch_order,
+        "seq_balanced_writers": _q_seq_balanced_writers,
+        "doc_tokenize": _q_doc_tokenize,
+        "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "seq_token_contamination": _q_seq_token_contamination,
         "events_value_anomalies": _q_events_value_anomalies,
         "doc_split_counts": _q_doc_split_counts,
@@ -984,6 +1049,33 @@ def _temperature_mix_sql() -> str:
     return tokens.source_temperature_weights_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "source",
         alpha=0.5, budget=1_000_000)
+
+
+def _epoch_order_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.epoch_order_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "doc_id", epoch=1, seed=42)
+
+
+def _balanced_writers_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.balanced_writer_loads_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "doc_id", 8)
+
+
+def _doc_tokenize_sql() -> str:
+    from ulp_spark.operators import tokenizer
+
+    return tokenizer.tokenize_sql(
+        "documents", "text", "doc_id", _TOKENIZE_VOCAB)
+
+
+def _strip_boilerplate_sql() -> str:
+    from ulp_spark.operators import curation
+
+    return curation.strip_boilerplate_sql("documents", "text", "doc_id")
 
 
 def _anomalies_sql() -> str:
@@ -1366,6 +1458,10 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),
+        "seq_epoch_order": _epoch_order_sql(),
+        "seq_balanced_writers": _balanced_writers_sql(),
+        "doc_tokenize": _doc_tokenize_sql(),
+        "doc_strip_boilerplate": _strip_boilerplate_sql(),
         "doc_split_counts": _split_counts_sql(),
         "doc_length_quantiles": """
             SELECT source,

@@ -1063,3 +1063,133 @@ def test_source_temperature_weights_hand_computed(spark):
     assert nul.budget_tokens == math.floor(20.0 / 30.0 * 300.0)
     # shares always sum to 1 (up to rounding)
     assert abs(a.q_temp + nul.q_temp - 1.0) < 2e-6
+
+
+# --------------------------------------------------------------------------
+# round-4 additions: strip_boilerplate, epoch_order, balanced_writers,
+# tokenizer apply
+# --------------------------------------------------------------------------
+
+def test_strip_boilerplate_drops_shared_chunk_only(spark):
+    from ulp_spark.operators import curation
+
+    boiler = "one two three four five six seven eight"   # exactly 8 words
+    rows = [(1, boiler + " alpha beta"), (2, boiler + " gamma"),
+            (3, "gamma delta"), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_chunks, r.n_dropped)
+           for r in curation.strip_boilerplate(
+               df, "text", "doc_id", min_docs=2).collect()}
+    # the shared 8-word chunk vanishes from docs 1 and 2; tails survive
+    assert got[1] == ("alpha beta", 2, 1)
+    assert got[2] == ("gamma", 2, 1)
+    # unique docs untouched (whitespace-normalized form)
+    assert got[3] == ("gamma delta", 1, 0)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 0)
+
+
+def test_strip_boilerplate_identity_when_threshold_unreachable(spark):
+    from ulp_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "  The   QUICK  brown fox "), (2, "lorem ipsum")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text for r in curation.strip_boilerplate(
+        df, "text", "doc_id", min_docs=10**9).collect()}
+    # nothing qualifies as boilerplate -> every doc comes back as its
+    # lowercased whitespace-normalized self
+    assert got == {1: "the quick brown fox", 2: "lorem ipsum"}
+
+
+def test_epoch_order_is_permutation_and_partition_invariant(spark):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    a = tokens.epoch_order(
+        fixtures.sequences(spark, 400, partitions=1), "doc_id", epoch=2)
+    b = tokens.epoch_order(
+        fixtures.sequences(spark, 400, partitions=13), "doc_id", epoch=2)
+    ra = {r.doc_id: r.epoch_rank for r in a.collect()}
+    rb = {r.doc_id: r.epoch_rank for r in b.collect()}
+    assert sorted(ra.values()) == list(range(400))   # gap-free permutation
+    assert ra == rb                                   # partitioning-invariant
+    c = {r.doc_id: r.epoch_rank for r in tokens.epoch_order(
+        fixtures.sequences(spark, 400), "doc_id", epoch=3).collect()}
+    assert c != ra                                    # epochs re-permute
+
+
+def test_balanced_writers_bounds_skew_on_adversarial_sizes(spark):
+    from ulp_spark.operators import tokens
+
+    # heavy-tailed: a few giants + many tiny rows
+    rows = [(f"d{i:04d}", 500) for i in range(6)] + \
+           [(f"t{i:04d}", 1 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    assigned = tokens.balanced_writers(df, "n_tok", "doc_id", 4)
+    out = assigned.collect()
+    assert len(out) == len(rows)                      # every row assigned
+    loads = {}
+    for r in out:
+        loads[r.writer] = loads.get(r.writer, 0) + r.n_tok
+    assert set(loads) == {0, 1, 2, 3}
+    assert max(loads.values()) - min(loads.values()) <= 500  # <= max n_tok
+
+
+def test_tokenizer_greedy_longest_match_and_unk(spark):
+    from ulp_spark.operators import tokenizer
+
+    vocab = ["ab", "abc", "c", "x"]
+    df = spark.createDataFrame([(1, "abcx"), (2, "abq")], "id long, t string")
+    got = {r.id: list(r.tokens) for r in tokenizer.tokenize(
+        df, "t", "id", vocab, unk_id=-7).collect()}
+    # greedy takes "abc" (longest), not "ab"+"c"
+    assert got[1] == [vocab.index("abc"), vocab.index("x")]
+    assert got[2] == [vocab.index("ab"), -7]
+
+
+def test_tokenizer_roundtrip_and_detok_paths_agree(spark):
+    from ulp_spark.operators import tokenizer
+
+    vocab = ["the", "ing", " "] + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    rows = [(i, f"the thing number {chr(97 + i % 26)} ending") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    toks = tokenizer.tokenize(df, "t", "id", vocab)
+    join_txt = {r.id: r.text for r in tokenizer.detokenize(
+        toks, "tokens", "id", vocab).collect()}
+    lit_txt = {r.id: r.text for r in tokenizer.detokenize(
+        toks, "tokens", "id", vocab, via="literal").collect()}
+    assert join_txt == lit_txt
+    for i, t in rows:
+        assert join_txt[i] == t.lower()               # full-coverage roundtrip
+
+
+def test_tokenizer_rejects_bad_vocab(spark):
+    from ulp_spark.operators import tokenizer
+
+    df = spark.createDataFrame([(1, "x")], "id long, t string")
+    with pytest.raises(ValueError):
+        tokenizer.tokenize(df, "t", "id", [])
+    with pytest.raises(ValueError):
+        tokenizer.tokenize(df, "t", "id", ["a", "a"])
+    with pytest.raises(ValueError):
+        tokenizer.tokenize(df, "t", "id", ["a", ""])
+    with pytest.raises(ValueError):
+        tokenizer.detokenize(df, "t", "id", ["a"], via="nope")
+
+
+def test_strip_boilerplate_seam_prunes_second_scan(spark):
+    """Plan pin: the seamed form reads the full corpus ONCE (inside the
+    seam); the only parquet scans in the final plan are column-pruned to
+    the id column — the explode is never re-derived per consumer."""
+    import re
+    from ulp_spark.operators import curation
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curation.strip_boilerplate(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert plan.count("Scan parquet") <= 2
+    for m in re.finditer(r"ReadSchema: (.*)", plan):
+        assert "text" not in m.group(1)   # no post-seam full-width scan

@@ -463,3 +463,164 @@ def token_budget_mix_sql(
                sum(kept * n_tok)::BIGINT AS tokens_kept
         FROM cum GROUP BY {group_col}
     """
+
+
+# --------------------------------------------------------------------------
+# boilerplate passage removal (document REWRITE, not just a flag)
+# --------------------------------------------------------------------------
+
+def strip_boilerplate(
+    df: DataFrame, text_col: str, id_col: str,
+    words: int = PASSAGE_WORDS, min_docs: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Remove every passage (``words``-word chunk, the passage_hashes
+    unit) that occurs in >= ``min_docs`` DISTINCT documents, and rebuild
+    each document from its surviving chunks — the CCNet boilerplate rule
+    as a document REWRITE rather than a per-doc flag (reference parity:
+    ulp only routes/aggregates; this is LLM-pipeline breadth like the
+    rest of this module).
+
+    Returns one row per input document: (id, text, n_chunks, n_dropped)
+    where text is the surviving chunks joined by single spaces.  The
+    rebuild is whitespace-normalizing by construction (chunks come from
+    ``word_tokens``: lowercased, whitespace-split), so a document with no
+    boilerplate comes back as its lowercased space-normalized self — the
+    exact-equality invariant pinned in pytest.  Documents whose every
+    chunk is boilerplate (and empty documents) come back as ''.
+
+    Scale shape: chunking explodes to n/words rows (stride = width, the
+    passage_dup_stats factor); the census aggregates DISTINCT (ph, id)
+    pairs — map-side partial distinct collapses intra-doc repeats — down
+    to passage-key scale, and the boiler set (count >= min_docs) is far
+    smaller still, so AQE broadcasts the anti-join on realistic corpora
+    and skew-splits a sort-merge join on adversarial ones (same trade as
+    passage_dup_stats via="join").  The one corpus-scale exchange is the
+    groupBy(id) re-assembly — unavoidable for a rewrite whose unit spans
+    the row — and it moves surviving chunk TEXT once, nothing else.  No
+    collect, no window over a hot passage partition.
+
+    ``materialize`` seams the exploded chunk table once (session.seam):
+    the census, the anti-join probe, the per-doc chunk totals, and the
+    rebuild all read that ONE materialization, so the full-width corpus
+    is scanned exactly once (plus one column-pruned id scan for the
+    every-doc output frame).  ``False`` keeps the lazy form, which
+    re-derives the explode per consumer — only for pipelines that seam
+    upstream themselves.
+    """
+    # null text behaves like empty text (n_chunks 0, rebuilt as '')
+    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(words))).cast("int")
+    chunk = F.struct(
+        F.col("j").alias("pos"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("j") * words + 1, words)
+        ).alias("chunk"),
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("n_chunks"))
+    ex = (
+        base.filter(F.col("n_chunks") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("j"),
+            "__toks",
+        )
+        .select(id_col, chunk.alias("c"))
+        .select(id_col, F.col("c.pos").alias("pos"),
+                F.col("c.chunk").alias("chunk"),
+                F.md5(F.col("c.chunk")).alias("ph"))
+    )
+    if materialize:
+        from ulp_spark.session import seam
+
+        ex = seam(ex)
+    boiler = (
+        ex.select("ph", id_col).distinct()
+        .groupBy("ph").agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("ph")
+    )
+    kept = ex.join(boiler, "ph", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("__text"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    if materialize:
+        # per-doc chunk totals from the seam, not a second corpus scan;
+        # the every-doc output frame needs only the id column (pruned)
+        totals = ex.groupBy(id_col).agg(
+            (F.max("pos") + 1).alias("n_chunks"))
+        out = (
+            df.select(id_col)
+            .join(totals, id_col, "left")
+            .na.fill({"n_chunks": 0})
+        )
+    else:
+        out = base.select(id_col, "n_chunks")
+    return (
+        out.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            (F.col("n_chunks") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def strip_boilerplate_sql(
+    table: str, text_col: str, id_col: str,
+    words: int = PASSAGE_WORDS, min_docs: int = 2,
+) -> str:
+    """DuckDB twin: same chunk -> distinct census -> anti-join -> ordered
+    string_agg rebuild.  range(0, 0) is empty, so zero-chunk docs drop out
+    of the unnest exactly like Spark's explode; they re-enter as '' via
+    the final left join."""
+    toks = word_tokens_sql(f"coalesce({text_col}, '')")
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {toks} AS toks,
+                 CAST(ceil(len({toks}) / {words}.0) AS INT) AS n_chunks
+          FROM {table}
+        ),
+        ch AS (
+          SELECT {id_col},
+                 unnest([{{'pos': j,
+                           'chunk': array_to_string(
+                               toks[j*{words}+1 : j*{words}+{words}], ' ')}}
+                         FOR j IN range(0, n_chunks)],
+                        recursive := true)
+          FROM base
+        ),
+        boiler AS (
+          SELECT ph FROM (
+            SELECT md5(chunk) AS ph, count(DISTINCT {id_col}) AS nd
+            FROM ch GROUP BY 1)
+          WHERE nd >= {min_docs}
+        ),
+        kept AS (
+          SELECT c.* FROM ch c LEFT JOIN boiler b ON md5(c.chunk) = b.ph
+          WHERE b.ph IS NULL
+        ),
+        reb AS (
+          SELECT {id_col}, string_agg(chunk, ' ' ORDER BY pos) AS t,
+                 count(*) AS n_kept
+          FROM kept GROUP BY {id_col}
+        )
+        SELECT base.{id_col},
+               coalesce(reb.t, '') AS {text_col},
+               base.n_chunks::BIGINT AS n_chunks,
+               (base.n_chunks - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped
+        FROM base LEFT JOIN reb USING ({id_col})
+    """

@@ -366,3 +366,129 @@ def source_temperature_weights_sql(
                      / (n_tokens / t.n), 6) AS up_weight{budget_col}
         FROM per CROSS JOIN t
     """
+
+
+# --------------------------------------------------------------------------
+# deterministic epoch shuffle (reproducible global training order)
+# --------------------------------------------------------------------------
+
+def epoch_shuffle_key(id_col: Column, epoch: int, seed: int = 0) -> Column:
+    """md5('{seed}:{epoch}:{doc_id}') — a keyed, reproducible permutation
+    of the corpus per (seed, epoch).  Changing the epoch re-permutes
+    everything; re-running the same epoch reproduces the exact order on
+    any cluster size or partitioning."""
+    return F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.lit(str(epoch)), id_col.cast("string")))
+
+
+def epoch_order(
+    df: DataFrame, id_col: str, epoch: int, seed: int = 0,
+) -> DataFrame:
+    """Global training order for one epoch: (id, shuffle_key, epoch_rank)
+    with epoch_rank a gap-free 0-based global position in shuffle_key
+    order — the deterministic dataloader-order contract (every worker can
+    recompute which rank range it owns without coordination).
+
+    Requires unique ids (the fixture's doc_id is); equal keys would make
+    the rank ordering engine-dependent.
+
+    Scale shape: the rank is packing.global_cumsum over ones — bucket ids
+    from broadcast sampled boundaries, ONE full-data exchange, no global
+    single-partition window (a naive row_number() OVER (ORDER BY key)
+    collapses the corpus to one reducer; this is the distributed form).
+    At write time the same key doubles as the repartitionByRange +
+    sortWithinPartitions key, so materializing the epoch order costs the
+    one exchange the rank already paid.
+    """
+    from ulp_spark.operators.packing import global_cumsum
+
+    keyed = df.select(
+        F.col(id_col),
+        epoch_shuffle_key(F.col(id_col), epoch, seed).alias("shuffle_key"),
+    ).withColumn("__one", F.lit(1))
+    ranked = global_cumsum(keyed, "shuffle_key", "__one",
+                           out_col="epoch_rank")
+    return ranked.select(
+        id_col, "shuffle_key", F.col("epoch_rank").cast("bigint"))
+
+
+def epoch_order_sql(table: str, id_col: str, epoch: int, seed: int = 0) -> str:
+    return f"""
+        SELECT {id_col},
+               md5(concat_ws(':', '{seed}', '{epoch}', {id_col})) AS shuffle_key,
+               (row_number() OVER (
+                  ORDER BY md5(concat_ws(':', '{seed}', '{epoch}', {id_col})))
+                - 1)::BIGINT AS epoch_rank
+        FROM {table}
+    """
+
+
+# --------------------------------------------------------------------------
+# token-balanced writer assignment (fixed writer pool, minimal skew)
+# --------------------------------------------------------------------------
+
+def balanced_writers(
+    df: DataFrame, n_tok_col: str, id_col: str, n_writers: int,
+) -> DataFrame:
+    """Assign each sequence to one of ``n_writers`` writers so per-writer
+    TOKEN loads are near-equal: sort by (n_tok desc, id), deal in snake
+    (boustrophedon) order 0..W-1, W-1..0, ...  Complementary to
+    sharding.shard_assign (contiguous shards of ~budget tokens, writer
+    count emergent): here the writer COUNT is fixed — the "I have exactly
+    W output streams / files / task slots" case — and the imbalance is
+    bounded: after each full down-and-up pass every writer holds one item
+    from the heavy end and one from the light end, so max-min load never
+    exceeds the largest single sequence (property pinned in pytest on
+    adversarial inputs).
+
+    Returns (id, n_tok, writer).  Scale shape: the global sort rank is
+    packing.global_cumsum over a zero-padded composite key (no global
+    single-partition window); writer derives from the rank by pure
+    arithmetic; the only full-data exchange is the rank's bucket
+    partition.  Ties beyond (n_tok, id) cannot occur (unique ids).
+    """
+    from ulp_spark.operators.packing import global_cumsum
+
+    key = F.format_string(
+        "%010d|%s", F.lit(2147483647) - F.col(n_tok_col).cast("int"),
+        F.col(id_col).cast("string"))
+    keyed = df.select(
+        F.col(id_col), F.col(n_tok_col), key.alias("__bw_key"),
+    ).withColumn("__one", F.lit(1))
+    ranked = global_cumsum(keyed, "__bw_key", "__one", out_col="__rank")
+    period = 2 * n_writers
+    pos = F.col("__rank") % period
+    writer = F.when(pos < n_writers, pos).otherwise(period - 1 - pos)
+    return ranked.select(
+        id_col, n_tok_col, writer.cast("int").alias("writer"))
+
+
+def writer_loads(assigned: DataFrame, n_tok_col: str = "n_tok") -> DataFrame:
+    """Per-writer load summary of a balanced_writers assignment:
+    (writer, n_seqs, n_tokens) — the skew report a 100-TB job watches."""
+    return assigned.groupBy("writer").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(F.col(n_tok_col).cast("bigint")).alias("n_tokens"))
+
+
+def balanced_writer_loads_sql(
+    table: str, n_tok_col: str, id_col: str, n_writers: int,
+) -> str:
+    p = 2 * n_writers
+    return f"""
+        WITH r AS (
+          SELECT {id_col}, {n_tok_col},
+                 row_number() OVER (ORDER BY printf('%010d|%s',
+                     2147483647 - {n_tok_col}, {id_col})) - 1 AS rk
+          FROM {table}
+        ),
+        a AS (
+          SELECT {n_tok_col},
+                 CAST(CASE WHEN rk % {p} < {n_writers} THEN rk % {p}
+                      ELSE {p} - 1 - rk % {p} END AS INT) AS writer
+          FROM r
+        )
+        SELECT writer, count(*)::BIGINT AS n_seqs,
+               sum({n_tok_col})::BIGINT AS n_tokens
+        FROM a GROUP BY writer
+    """
