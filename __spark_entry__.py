@@ -657,6 +657,16 @@ def _q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.strip_boilerplate(d, "text", "doc_id")
 
 
+def _q_seq_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable mixing plan from the temperature weights: per source,
+    full epochs + fractional-tail sampling rate for a 2M-token budget."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.source_mixing_plan(seq, "n_tok", "source",
+                                     alpha=0.5, budget=2_000_000)
+
+
 def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed anomaly detection: rows > 3 population stddevs from their
     (event_type, day) mean; stats side broadcast, events never shuffled."""
@@ -865,6 +875,7 @@ _PYTEST_ONLY = frozenset({
     # cap — pytest-parity-gated, rotation candidates for r5
     "seq_epoch_order",
     "seq_balanced_writers",
+    "seq_mixing_plan",
     "doc_tokenize",
     "doc_strip_boilerplate",
     # second r4 rotation: the three r4-new token ops take driver slots;
@@ -939,6 +950,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_temperature_mix": _q_seq_temperature_mix,
         "seq_epoch_order": _q_seq_epoch_order,
         "seq_balanced_writers": _q_seq_balanced_writers,
+        "seq_mixing_plan": _q_seq_mixing_plan,
         "doc_tokenize": _q_doc_tokenize,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "seq_token_contamination": _q_seq_token_contamination,
@@ -1063,6 +1075,14 @@ def _balanced_writers_sql() -> str:
 
     return tokens.balanced_writer_loads_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "doc_id", 8)
+
+
+def _mixing_plan_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.source_mixing_plan_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "source",
+        alpha=0.5, budget=2_000_000)
 
 
 def _doc_tokenize_sql() -> str:
@@ -1460,6 +1480,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_temperature_mix": _temperature_mix_sql(),
         "seq_epoch_order": _epoch_order_sql(),
         "seq_balanced_writers": _balanced_writers_sql(),
+        "seq_mixing_plan": _mixing_plan_sql(),
         "doc_tokenize": _doc_tokenize_sql(),
         "doc_strip_boilerplate": _strip_boilerplate_sql(),
         "doc_split_counts": _split_counts_sql(),

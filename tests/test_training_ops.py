@@ -1193,3 +1193,66 @@ def test_strip_boilerplate_seam_prunes_second_scan(spark):
     assert plan.count("Scan parquet") <= 2
     for m in re.finditer(r"ReadSchema: (.*)", plan):
         assert "text" not in m.group(1)   # no post-seam full-width scan
+
+
+def test_pack_bins_invariants_and_determinism(spark):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import packing
+
+    CAP = 512
+    a = packing.pack_bins(
+        fixtures.sequences(spark, 600, partitions=2).select("doc_id", "n_tok"),
+        capacity=CAP, buckets=16)
+    b = packing.pack_bins(
+        fixtures.sequences(spark, 600, partitions=11).select("doc_id", "n_tok"),
+        capacity=CAP, buckets=16)
+    ra = {r.doc_id: (r.bin_id, r.oversize) for r in a.collect()}
+    rb = {r.doc_id: (r.bin_id, r.oversize) for r in b.collect()}
+    assert len(ra) == 600                      # every doc exactly once
+    assert ra == rb                            # input-partitioning-invariant
+    # no regular bin over capacity; oversize only when the doc alone is
+    loads: dict[int, int] = {}
+    toks = {r.doc_id: r.n_tok for r in
+            fixtures.sequences(spark, 600).select("doc_id", "n_tok").collect()}
+    for d, (bin_id, over) in ra.items():
+        assert over == (toks[d] > CAP)
+        if not over:
+            loads[bin_id] = loads.get(bin_id, 0) + toks[d]
+    assert loads and max(loads.values()) <= CAP
+
+
+def test_pack_bins_oversize_isolated_and_stats(spark):
+    from ulp_spark.operators import packing
+
+    rows = [("a", 600), ("b", 600), ("c", 100), ("d", 100), ("e", 300)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    packed = packing.pack_bins(df, capacity=512, buckets=4)
+    out = {r.doc_id: r for r in packed.collect()}
+    assert out["a"].oversize and out["b"].oversize
+    assert out["a"].bin_id != out["b"].bin_id      # oversize never co-packed
+    by_bin: dict[int, list] = {}
+    for r in out.values():
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rs in by_bin.values():
+        if any(r.oversize for r in rs):
+            assert len(rs) == 1                    # nothing joins an oversize bin
+    st = packing.bin_stats(packed, capacity=512).collect()[0]
+    assert st.n_docs == 5 and st.n_oversize == 2
+    assert 0 < st.fill_frac <= 1.0
+
+
+def test_source_mixing_plan_matches_duckdb_and_budget(spark):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, 3000)
+    got = sorted(map(tuple, tokens.source_mixing_plan(
+        seq, budget=2_000_000).collect()))
+    con = duckdb.connect()
+    exp = sorted(con.sql(tokens.source_mixing_plan_sql(
+        f"({fixtures.sequences_sql(3000)})", budget=2_000_000)).fetchall())
+    assert got == exp
+    for _, n_tokens, budget_tokens, n_epochs, tail_frac in got:
+        # plan reconstructs its own budget: epochs*n + tail*n ~= budget
+        assert abs(n_epochs * n_tokens + tail_frac * n_tokens
+                   - budget_tokens) <= n_tokens * 1e-5 + 1

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 CHUNK = 512  # training sequence length (tokens)
 
@@ -165,3 +166,103 @@ def packing_offsets_sql(
                 - floor(tok_offset / {chunk}) + 1 AS BIGINT) AS n_chunks
     FROM c
     """
+
+
+# --------------------------------------------------------------------------
+# doc-boundary-respecting bin packing (no document ever split)
+# --------------------------------------------------------------------------
+
+def pack_bins(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_tok",
+    capacity: int = CHUNK, buckets: int = 256,
+) -> DataFrame:
+    """Assign each document to exactly one ``capacity``-token training
+    bin WITHOUT splitting any document — the sample-packing form
+    (Megatron/T5-style) complementary to packing_offsets, which packs the
+    token STREAM and splits documents at chunk boundaries.
+
+    Two-level scheme: documents hash deterministically into ``buckets``
+    groups (xxhash64 of the id — independent of input partitioning), and
+    each bucket packs its own documents with first-fit-decreasing.
+    Returns (id, n_tok, bucket, bin_id, oversize) where bin_id =
+    bucket * 2^32 + local bin index (globally unique), and oversize marks
+    documents longer than ``capacity`` (each gets a bin of its own; the
+    caller decides truncate-vs-drop — this operator never mutates data).
+
+    Scale shape: ONE exchange (the groupBy(bucket) for applyInPandas);
+    each task packs ~N/buckets docs driver-free.  Packing quality is
+    bucket-local FFD — within the 11/9·OPT + 6/9 FFD bound per bucket,
+    plus at most one partial bin per bucket globally; size ``buckets`` so
+    a bucket's (id, n_tok) pairs fit a task (rows, not token payloads —
+    the token arrays never move).  Determinism: bucket choice is a pure
+    hash of the id and FFD scans docs in (n_tok desc, id) order, so the
+    assignment is a pure function of the (id, n_tok) set — pinned
+    partition-invariant in pytest.  The in-task first-fit scan is
+    O(docs·bins) pure Python on KiB-scale state; swap for a
+    best-fit tree if a bucket ever holds millions of docs.
+    """
+    keyed = df.select(
+        F.col(id_col), F.col(len_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+        .cast("int").alias("bucket"),
+    )
+    id_field = keyed.schema[id_col]
+    out_schema = T.StructType([
+        id_field,
+        T.StructField(len_col, keyed.schema[len_col].dataType, True),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("bin_id", T.LongType(), False),
+        T.StructField("oversize", T.BooleanType(), False),
+    ])
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            [len_col, id_col], ascending=[False, True], kind="mergesort")
+        remaining: list[int] = []
+        assign: list[int] = []
+        oversize: list[bool] = []
+        for tok in pdf[len_col]:
+            t = int(tok)
+            if t > capacity:
+                # own bin, never co-packed; flagged for the caller
+                remaining.append(0)
+                assign.append(len(remaining) - 1)
+                oversize.append(True)
+                continue
+            for i, rem in enumerate(remaining):      # first fit
+                if rem >= t:
+                    remaining[i] = rem - t
+                    assign.append(i)
+                    break
+            else:
+                remaining.append(capacity - t)
+                assign.append(len(remaining) - 1)
+            oversize.append(False)
+        pdf = pdf.assign(
+            bin_id=[(int(pdf["bucket"].iloc[0]) << 32) | a for a in assign],
+            oversize=oversize,
+        )
+        return pdf[[id_col, len_col, "bucket", "bin_id", "oversize"]]
+
+    return keyed.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def bin_stats(packed: DataFrame, len_col: str = "n_tok",
+              capacity: int = CHUNK) -> DataFrame:
+    """One-row packing-quality report over a pack_bins assignment:
+    (n_docs, n_bins, n_oversize, fill_frac) where fill_frac counts only
+    regular bins (oversize bins are the caller's problem by contract)."""
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum(F.col(len_col).cast("bigint")).alias("toks"),
+        F.count(F.lit(1)).alias("docs"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    reg = F.col("over") == 0
+    return per_bin.agg(
+        F.sum("docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("over").cast("bigint").alias("n_oversize"),
+        F.round(F.sum(F.when(reg, F.col("toks")).otherwise(0))
+                / (F.sum(reg.cast("bigint")) * capacity), 6)
+        .alias("fill_frac"),
+    )

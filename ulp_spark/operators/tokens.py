@@ -492,3 +492,45 @@ def balanced_writer_loads_sql(
                sum({n_tok_col})::BIGINT AS n_tokens
         FROM a GROUP BY writer
     """
+
+
+def source_mixing_plan(
+    df: DataFrame, n_tok_col: str = "n_tok", source_col: str = "source",
+    alpha: float = 0.5, budget: int = 1_000_000_000,
+) -> DataFrame:
+    """Executable form of source_temperature_weights: per source, how
+    many FULL passes over its data to take plus the fractional tail —
+    (source, n_tokens, budget_tokens, n_epochs, tail_frac), where
+    budget_tokens = floor(q_temp * budget), n_epochs = budget_tokens div
+    n_tokens, and tail_frac is the remainder as a sampling rate a
+    deterministic sampler (sampling.deterministic_sample) applies to the
+    final pass.  Upsampled low-resource sources get n_epochs >= 1 + a
+    partial pass; downsampled ones get n_epochs = 0 + a thinning rate.
+
+    Same scale shape as source_temperature_weights (one aggregate to
+    |sources| rows); the arithmetic is per-source scalar algebra.
+    """
+    w = source_temperature_weights(
+        df, n_tok_col, source_col, alpha=alpha, budget=budget)
+    bt = F.col("budget_tokens")
+    nt = F.col("n_tokens")
+    return w.select(
+        "source", "n_tokens", "budget_tokens",
+        F.floor(bt / nt).cast("bigint").alias("n_epochs"),
+        F.round((bt % nt) / nt, 6).alias("tail_frac"),
+    )
+
+
+def source_mixing_plan_sql(
+    table: str, n_tok_col: str = "n_tok", source_col: str = "source",
+    alpha: float = 0.5, budget: int = 1_000_000_000,
+) -> str:
+    inner = source_temperature_weights_sql(
+        table, n_tok_col, source_col, alpha=alpha, budget=budget)
+    return f"""
+        SELECT source, n_tokens, budget_tokens,
+               (budget_tokens // n_tokens)::BIGINT AS n_epochs,
+               round((budget_tokens % n_tokens)::DOUBLE / n_tokens, 6)
+                 AS tail_frac
+        FROM ({inner})
+    """
