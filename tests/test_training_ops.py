@@ -1256,3 +1256,31 @@ def test_source_mixing_plan_matches_duckdb_and_budget(spark):
         # plan reconstructs its own budget: epochs*n + tail*n ~= budget
         assert abs(n_epochs * n_tokens + tail_frac * n_tokens
                    - budget_tokens) <= n_tokens * 1e-5 + 1
+
+
+def test_pack_sequences_boundaries_and_conservation(spark):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import packing
+
+    seq = fixtures.sequences(spark, 300).select("doc_id", "tokens", "n_tok")
+    packed = packing.pack_bins(seq.select("doc_id", "n_tok"),
+                               capacity=512, buckets=8)
+    rows = packing.pack_sequences(seq, packed).collect()
+    n_tok_by_id = {r.doc_id: r.n_tok for r in seq.collect()}
+    assigned = {r.doc_id: r.bin_id for r in packed.collect()}
+    seen_docs = 0
+    for r in rows:
+        assert r.n_tok == len(r.tokens) <= 512 or r.n_docs == 1  # oversize solo
+        assert r.n_docs == len(r.doc_starts)
+        assert list(r.doc_starts) == sorted(r.doc_starts)
+        assert r.doc_starts[0] == 0
+        # starts are the exclusive prefix sums of the member doc lengths
+        members = sorted(d for d, b in assigned.items() if b == r.bin_id)
+        exp_starts, off = [], 0
+        for d in members:
+            exp_starts.append(off)
+            off += n_tok_by_id[d]
+        assert list(r.doc_starts) == exp_starts
+        assert off == r.n_tok
+        seen_docs += r.n_docs
+    assert seen_docs == 300                      # every doc packed exactly once

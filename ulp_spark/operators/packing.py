@@ -266,3 +266,50 @@ def bin_stats(packed: DataFrame, len_col: str = "n_tok",
                 / (F.sum(reg.cast("bigint")) * capacity), 6)
         .alias("fill_frac"),
     )
+
+
+def pack_sequences(
+    seq: DataFrame, packed: DataFrame,
+    id_col: str = "doc_id", tokens_col: str = "tokens",
+) -> DataFrame:
+    """Materialize the training rows for a pack_bins assignment: one row
+    per bin — (bin_id, tokens, doc_starts, n_docs, n_tok) where tokens is
+    the bin's documents concatenated (ascending id order — deterministic,
+    not insert order) and doc_starts[i] is the offset where document i
+    begins: exactly the block-diagonal attention-mask / loss-boundary
+    input a trainer needs so packed documents cannot attend across
+    boundaries.
+
+    Scale shape: an equi-join on id (packed is (id, bin_id) — key-scale,
+    AQE-broadcastable) then ONE groupBy(bin_id) that moves each token
+    array once.  The concatenation and the prefix-sum of lengths are
+    single JVM higher-order expressions (F.aggregate) over the collected
+    bin — a bin holds <= capacity tokens by construction, so the
+    per-group state is bounded by the bin capacity, never by the corpus.
+    No SQL twin: the upstream FFD assignment is itself non-relational;
+    invariants (flatten length == sum n_tok, starts == exclusive prefix
+    sums, every doc exactly once) are pinned in pytest instead.
+    """
+    j = seq.select(id_col, tokens_col).join(
+        packed.select(id_col, "bin_id"), id_col)
+    grouped = j.groupBy("bin_id").agg(
+        F.array_sort(F.collect_list(F.struct(id_col, tokens_col)))
+        .alias("__arr"))
+    arr = F.col("__arr")
+    toks = F.flatten(F.transform(arr, lambda s: s[tokens_col]))
+    starts = F.aggregate(
+        arr,
+        F.struct(F.array().cast("array<int>").alias("st"),
+                 F.lit(0).alias("off")),
+        lambda acc, s: F.struct(
+            F.concat(acc["st"], F.array(acc["off"])).alias("st"),
+            (acc["off"] + F.size(s[tokens_col])).alias("off")),
+        lambda acc: acc["st"],
+    )
+    return grouped.select(
+        "bin_id",
+        toks.alias(tokens_col),
+        starts.alias("doc_starts"),
+        F.size(arr).alias("n_docs"),
+        F.size(toks).alias("n_tok"),
+    )
