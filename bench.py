@@ -158,6 +158,17 @@ def main() -> None:
     vocab.bpe_top_merges(big, "text", k=20).collect()
     bpe_sec = round(time.perf_counter() - t0v, 3)
 
+    # tokenizer APPLY: the repo's one designed Pandas-UDF hot path —
+    # measured so the Arrow-batch Python cost stays visible next to the
+    # JVM ops it bridges (text corpus -> token table).
+    from ulp_spark.operators import tokenizer  # noqa: E402
+    import __spark_entry__ as _entry  # noqa: E402
+    t0t = time.perf_counter()
+    tok_out = tokenizer.tokenize(big, "text", "doc_id",
+                                 _entry._TOKENIZE_VOCAB)
+    n_toks_out = tok_out.agg(F.sum("n_tok")).collect()[0][0]
+    tokenize_sec = round(time.perf_counter() - t0t, 3)
+
     # ANN: recall@10 vs brute force + wall time (the recall/cost curve a
     # user tunes n_probe with; floors are pinned in pytest).  TWO regimes,
     # each labeled with its table + scale (VERDICT r3: unlabeled scales
@@ -243,6 +254,15 @@ def main() -> None:
             "docs": n_docs,
             "bpe_top_merges_sec": bpe_sec,
             "docs_per_sec": round(n_docs / bpe_sec, 1) if bpe_sec else None,
+        },
+        "tokenize": {
+            "docs": n_docs,
+            "tokens_out": int(n_toks_out),
+            "sec": tokenize_sec,
+            "docs_per_sec": (round(n_docs / tokenize_sec, 1)
+                             if tokenize_sec else None),
+            "tokens_per_sec": (round(n_toks_out / tokenize_sec, 1)
+                               if tokenize_sec else None),
         },
         "ann": {"table": "sf embeddings (isotropic noise; recall bound ~= frac_scanned)",
                 "vectors": n_emb, "sec": ann_sec, "recall": ann,
