@@ -667,6 +667,18 @@ def _q_seq_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      alpha=0.5, budget=2_000_000)
 
 
+def _q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier inference over hashed word
+    uni+bigram features (integer centi-unit weights -> order-independent
+    exact sums; one sigmoid per doc).  Synthetic deterministic weights
+    stand in for a trained model; the trained-weights broadcast-join
+    path is pinned equivalent in pytest."""
+    from ulp_spark.operators import classifier
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return classifier.linear_quality_score(d, "text", "doc_id")
+
+
 def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed anomaly detection: rows > 3 population stddevs from their
     (event_type, day) mean; stats side broadcast, events never shuffled."""
@@ -876,6 +888,7 @@ _PYTEST_ONLY = frozenset({
     "seq_epoch_order",
     "seq_balanced_writers",
     "seq_mixing_plan",
+    "doc_quality_classifier",
     "doc_tokenize",
     "doc_strip_boilerplate",
     # second r4 rotation: the three r4-new token ops take driver slots;
@@ -951,6 +964,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_epoch_order": _q_seq_epoch_order,
         "seq_balanced_writers": _q_seq_balanced_writers,
         "seq_mixing_plan": _q_seq_mixing_plan,
+        "doc_quality_classifier": _q_doc_quality_classifier,
         "doc_tokenize": _q_doc_tokenize,
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "seq_token_contamination": _q_seq_token_contamination,
@@ -1083,6 +1097,12 @@ def _mixing_plan_sql() -> str:
     return tokens.source_mixing_plan_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "source",
         alpha=0.5, budget=2_000_000)
+
+
+def _quality_classifier_sql() -> str:
+    from ulp_spark.operators import classifier
+
+    return classifier.linear_quality_score_sql("documents", "text", "doc_id")
 
 
 def _doc_tokenize_sql() -> str:
@@ -1481,6 +1501,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_epoch_order": _epoch_order_sql(),
         "seq_balanced_writers": _balanced_writers_sql(),
         "seq_mixing_plan": _mixing_plan_sql(),
+        "doc_quality_classifier": _quality_classifier_sql(),
         "doc_tokenize": _doc_tokenize_sql(),
         "doc_strip_boilerplate": _strip_boilerplate_sql(),
         "doc_split_counts": _split_counts_sql(),

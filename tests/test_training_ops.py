@@ -1284,3 +1284,34 @@ def test_pack_sequences_boundaries_and_conservation(spark):
         assert off == r.n_tok
         seen_docs += r.n_docs
     assert seen_docs == 300                      # every doc packed exactly once
+
+
+def test_linear_classifier_empty_and_trained_weights(spark):
+    from pyspark.sql import functions as F
+    from ulp_spark.operators import classifier
+
+    df = spark.createDataFrame(
+        [(1, "good solid text here"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.score_centi, r.prob)
+           for r in classifier.linear_quality_score(
+               df, "text", "doc_id", bias_centi=25).collect()}
+    assert set(got) == {1, 2, 3}                  # every row comes back
+    assert got[2] == (25, round(1/(1+__import__("math").exp(-0.25)), 6))
+    assert got[3] == got[2]                       # null == empty == bias only
+    # a trained-weights table that encodes the synthetic formula must
+    # reproduce the formula path exactly (join vs expression equivalence)
+    wtab = spark.range(0, classifier.HASH_DIM).select(
+        F.col("id").alias("bucket"),
+        classifier.synthetic_weight_centi(F.col("id")).alias("w_centi"))
+    via_join = {r.doc_id: (r.score_centi, r.prob)
+                for r in classifier.linear_quality_score(
+                    df, "text", "doc_id", weights=wtab,
+                    bias_centi=25).collect()}
+    assert via_join == got
+    # sparse trained weights: missing buckets weigh zero
+    empty_w = wtab.filter(F.lit(False))
+    sparse = {r.doc_id: r.score_centi
+              for r in classifier.linear_quality_score(
+                  df, "text", "doc_id", weights=empty_w).collect()}
+    assert sparse == {1: 0, 2: 0, 3: 0}
