@@ -1315,3 +1315,38 @@ def test_linear_classifier_empty_and_trained_weights(spark):
               for r in classifier.linear_quality_score(
                   df, "text", "doc_id", weights=empty_w).collect()}
     assert sparse == {1: 0, 2: 0, 3: 0}
+
+
+def test_incremental_sequence_dedup_across_runs(spark, tmp_path):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    state = str(tmp_path / "fp_state")
+    # run 1: rows 0..99 (fixture arrays are unique per id here)
+    r1 = tokens.incremental_sequence_dedup(
+        fixtures.sequences(spark, 100), "tokens", "doc_id", state)
+    ids1 = {r.doc_id for r in r1.select("doc_id").collect()}
+    assert len(ids1) == 100
+    # run 2: rows 0..149 — the first 100 are exact re-ingests
+    r2 = tokens.incremental_sequence_dedup(
+        fixtures.sequences(spark, 150), "tokens", "doc_id", state)
+    ids2 = {r.doc_id for r in r2.select("doc_id").collect()}
+    assert ids2 == {f"doc-{i:08d}" for i in range(100, 150)}
+    # run 3: pure replay — nothing survives
+    r3 = tokens.incremental_sequence_dedup(
+        fixtures.sequences(spark, 150), "tokens", "doc_id", state)
+    assert r3.count() == 0
+    # state holds exactly one fingerprint per distinct sequence
+    assert spark.read.parquet(state).distinct().count() == 150
+
+
+def test_incremental_sequence_dedup_within_batch(spark, tmp_path):
+    from ulp_spark.operators import tokens
+
+    state = str(tmp_path / "fp_state2")
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [1, 2, 3]), ("c", [9])],
+        "doc_id string, tokens array<int>")
+    out = tokens.incremental_sequence_dedup(df, "tokens", "doc_id", state)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == ["a", "c"]                   # min-id wins inside the batch

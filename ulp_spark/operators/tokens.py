@@ -534,3 +534,48 @@ def source_mixing_plan_sql(
                  AS tail_frac
         FROM ({inner})
     """
+
+
+def incremental_sequence_dedup(
+    df: DataFrame, tokens_col: str, id_col: str, state_path: str,
+) -> DataFrame:
+    """Cross-RUN exact dedup for incremental ingest: drop sequences whose
+    token fingerprint was already committed by ANY previous batch, then
+    append the survivors' fingerprints to the parquet state store — the
+    batch counterpart of streaming/stateful.py's cross-micro-batch dedup
+    (daily-ingest pattern: each run sees only its delta, the state store
+    carries corpus history).
+
+    Returns the surviving rows of ``df`` (original columns).  The state
+    store is a plain parquet directory of (fp string); first run starts
+    empty.  Survivors are deduped WITHIN the batch too (min id wins, the
+    sequence_exact_dedup rule).
+
+    Scale shape: the batch's (fp, id) pairs aggregate to one row per
+    distinct fingerprint (map-side combine), LEFT ANTI join against the
+    state scan (AQE picks broadcast vs shuffle by actual state size — on
+    mature corpora the state side is the big one and the DELTA
+    broadcasts), then one semi-join back to the batch rows.  The append
+    writes only the batch's new fingerprints (16-byte keys, never token
+    payloads).  NOT atomic vs concurrent writers by itself — serialize
+    runs through plans/manifest.py like the fan-out sinks do.
+    """
+    spark = df.sparkSession
+    fp = token_fingerprint(F.col(tokens_col)).alias("fp")
+    batch = df.select(fp, F.col(id_col))
+    batch_min = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    try:
+        seen = spark.read.parquet(state_path).select("fp")
+        have_state = True
+    except Exception:  # first run: no state yet
+        seen = spark.createDataFrame([], "fp string")
+        have_state = False
+    fresh = batch_min.join(seen, "fp", "left_anti")
+    # materialize the new-key set once: it feeds BOTH the state append
+    # and the survivor semi-join (and the append must not re-race the
+    # state scan it just anti-joined against)
+    fresh = seam(fresh)
+    fresh.select("fp").write.mode(
+        "append" if have_state else "overwrite").parquet(state_path)
+    return df.select("*", fp).join(
+        fresh, ["fp", id_col], "left_semi").drop("fp")
