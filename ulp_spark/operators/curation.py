@@ -199,7 +199,7 @@ def passage_hashes_sql(text: str, words: int = PASSAGE_WORDS) -> str:
 
 def passage_dup_stats(
     df: DataFrame, text_col: str, id_col: str, words: int = PASSAGE_WORDS,
-    via: str = "join",
+    via: str = "join", materialize: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-passage stats against the WHOLE corpus.
 
@@ -222,11 +222,22 @@ def passage_dup_stats(
 
     No collect, no all-pairs — a passage shared by M docs costs M rows,
     not M^2, on both paths.
+
+    ``materialize`` (join path only): the dup-key census and the probe
+    side BOTH consume the exploded (id, ph) frame; unseamed, each re-pays
+    the full text-derivation + explode — measured 17 s vs 7.4 s for the
+    single-pass window on the sf0.1 bench corpus.  session.seam
+    materializes the explode once (round-4 fix; the window path has one
+    consumer and needs no seam).
     """
     exploded = df.select(
         F.col(id_col),
         F.explode(passage_hashes(F.col(text_col), words)).alias("ph"),
     )
+    if via == "join" and materialize:
+        from ulp_spark.session import seam
+
+        exploded = seam(exploded)
     if via == "window":
         cnt = F.count(F.lit(1)).over(Window.partitionBy("ph"))
         per_passage = exploded.withColumn("is_dup", cnt > 1)
