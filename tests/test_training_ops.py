@@ -1350,3 +1350,39 @@ def test_incremental_sequence_dedup_within_batch(spark, tmp_path):
     out = tokens.incremental_sequence_dedup(df, "tokens", "doc_id", state)
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == ["a", "c"]                   # min-id wins inside the batch
+
+
+def test_tokenizer_matches_pure_python_reference_on_random_inputs(spark):
+    """Randomized cross-check: Spark mapInPandas output == an independent
+    per-string greedy implementation, 200 seeded strings in one job."""
+    import random
+
+    from ulp_spark.operators import tokenizer
+
+    rng = random.Random(20260817)
+    vocab = ["aa", "aab", "ba", "b", "a", "c", " ", "abc", "cab"]
+    v = {p: i for i, p in enumerate(vocab)}
+    max_len = max(map(len, vocab))
+
+    def ref(s):
+        s = s.lower()
+        ids, i = [], 0
+        while i < len(s):
+            ln = min(max_len, len(s) - i)
+            while ln > 0 and s[i:i + ln] not in v:
+                ln -= 1
+            if ln == 0:
+                ids.append(-1)
+                i += 1
+            else:
+                ids.append(v[s[i:i + ln]])
+                i += ln
+        return ids
+
+    rows = [(i, "".join(rng.choice("abc xyB") for _ in range(rng.randint(0, 40))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: list(r.tokens) for r in tokenizer.tokenize(
+        df, "t", "id", vocab).collect()}
+    for i, s in rows:
+        assert got[i] == ref(s), (s, got[i], ref(s))
