@@ -1386,3 +1386,108 @@ def test_tokenizer_matches_pure_python_reference_on_random_inputs(spark):
         df, "t", "id", vocab).collect()}
     for i, s in rows:
         assert got[i] == ref(s), (s, got[i], ref(s))
+
+
+def test_pack_bins_zero_token_doc_never_joins_oversize_bin(spark):
+    # ADVICE r4: rem >= t with t == 0 used to land a zero-token doc in an
+    # oversize bin's remaining==0 slot; the -1 sentinel closes that hole.
+    from ulp_spark.operators import packing
+
+    rows = [("big", 600), ("z1", 0), ("z2", 0), ("s", 10)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    packed = packing.pack_bins(df, capacity=512, buckets=1)
+    out = {r.doc_id: r for r in packed.collect()}
+    assert out["big"].oversize
+    by_bin: dict[int, list] = {}
+    for r in out.values():
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rs in by_bin.values():
+        if any(r.oversize for r in rs):
+            assert len(rs) == 1            # oversize bins stay singleton
+    # zero-token docs co-pack fine with each other / regular docs
+    assert not out["z1"].oversize and not out["z2"].oversize
+    st = packing.bin_stats(packed, capacity=512).collect()[0]
+    assert st.n_docs == 4 and st.n_oversize == 1
+
+
+def test_bin_stats_all_oversize_fill_frac_is_zero(spark):
+    # ADVICE r4: no regular bins used to make fill_frac NULL; now 0.0.
+    from ulp_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("a", 900), ("b", 700)], "doc_id string, n_tok int")
+    packed = packing.pack_bins(df, capacity=512, buckets=2)
+    st = packing.bin_stats(packed, capacity=512).collect()[0]
+    assert st.n_oversize == 2 and st.n_bins == 2
+    assert st.fill_frac == 0.0
+
+
+def test_incremental_dedup_read_failure_raises_and_preserves_state(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r4 (medium): a transient read failure on an EXISTING state
+    store must abort the run loudly — never masquerade as 'first run' and
+    overwrite the accumulated fingerprint history."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from ulp_spark.operators import tokens
+
+    state = str(tmp_path / "fp_state_inject")
+    df1 = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [4, 5])], "doc_id string, tokens array<int>")
+    assert tokens.incremental_sequence_dedup(
+        df1, "tokens", "doc_id", state).count() == 2
+    files_before = sorted(os.listdir(state))
+
+    orig = DataFrameReader.parquet
+
+    def boom(self, *paths, **kw):
+        if any(state in str(p) for p in paths):
+            raise IOError("injected transient state read failure")
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    df2 = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("c", [9])], "doc_id string, tokens array<int>")
+    with pytest.raises(Exception, match="injected"):
+        tokens.incremental_sequence_dedup(df2, "tokens", "doc_id", state)
+    monkeypatch.undo()
+    # the store survived byte-for-byte: no overwrite, no partial commit
+    assert sorted(os.listdir(state)) == files_before
+    # and history is intact: the replayed sequence still dedups, the new
+    # one still survives
+    out = tokens.incremental_sequence_dedup(df2, "tokens", "doc_id", state)
+    assert {r.doc_id for r in out.collect()} == {"c"}
+
+
+def test_compact_dedup_state_preserves_antijoin(spark, tmp_path):
+    import glob as _glob
+    import os
+
+    from ulp_spark.operators import tokens
+
+    state = str(tmp_path / "fp_state_compact")
+    # three runs -> three file sets in the store
+    for lo, hi in [(0, 50), (25, 75), (50, 100)]:
+        df = spark.createDataFrame(
+            [(f"d{i:04d}", [i, i + 1]) for i in range(lo, hi)],
+            "doc_id string, tokens array<int>")
+        tokens.incremental_sequence_dedup(df, "tokens", "doc_id", state)
+    fps_before = {r.fp for r in spark.read.parquet(state).collect()}
+    assert len(fps_before) == 100
+    res = tokens.compact_dedup_state(
+        spark, state, target_rows_per_file=1_000_000, min_files=1)
+    assert res["skipped"] == 0 and res["rows"] == 100
+    assert len(_glob.glob(os.path.join(state, "*.parquet"))) == 1
+    # compaction changes neither the key set nor the anti-join result
+    assert {r.fp for r in spark.read.parquet(state).collect()} == fps_before
+    replay = spark.createDataFrame(
+        [(f"d{i:04d}", [i, i + 1]) for i in range(0, 100)],
+        "doc_id string, tokens array<int>")
+    assert tokens.incremental_sequence_dedup(
+        replay, "tokens", "doc_id", state).count() == 0
+    fresh = spark.createDataFrame(
+        [("new", [999, 1000])], "doc_id string, tokens array<int>")
+    assert tokens.incremental_sequence_dedup(
+        fresh, "tokens", "doc_id", state).count() == 1

@@ -95,7 +95,7 @@ def repair_compaction(path: str) -> dict[str, int]:
 
 def compact_route(
     spark, path: str, target_rows_per_file: int = 1_000_000,
-    min_files: int = 2,
+    min_files: int = 2, distinct: bool = False,
 ) -> dict[str, int]:
     """Small-files compaction for one route/shard directory — the
     maintenance op every long-running fan-out sink needs (many
@@ -129,6 +129,10 @@ def compact_route(
         return {"files_before": files_before, "files_after": files_before,
                 "rows": -1, "skipped": 1}
     df = spark.read.parquet(path)
+    if distinct:
+        # state-store form (tokens.compact_dedup_state): collapse exact
+        # duplicate rows while rewriting — one extra exchange, key-scale
+        df = df.distinct()
     rows = df.count()
     n_out = max(1, math.ceil(rows / target_rows_per_file))
     tmp = path.rstrip("/") + ".compact-tmp"

@@ -224,8 +224,11 @@ def pack_bins(
         for tok in pdf[len_col]:
             t = int(tok)
             if t > capacity:
-                # own bin, never co-packed; flagged for the caller
-                remaining.append(0)
+                # own bin, never co-packed; flagged for the caller.
+                # remaining = -1 (not 0) sentinels the bin as closed so a
+                # zero-token document's `rem >= t` probe can never land
+                # in it (ADVICE r4)
+                remaining.append(-1)
                 assign.append(len(remaining) - 1)
                 oversize.append(True)
                 continue
@@ -258,13 +261,17 @@ def bin_stats(packed: DataFrame, len_col: str = "n_tok",
         F.max(F.col("oversize").cast("int")).alias("over"),
     )
     reg = F.col("over") == 0
+    n_reg = F.sum(reg.cast("bigint"))
     return per_bin.agg(
         F.sum("docs").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         F.sum("over").cast("bigint").alias("n_oversize"),
-        F.round(F.sum(F.when(reg, F.col("toks")).otherwise(0))
-                / (F.sum(reg.cast("bigint")) * capacity), 6)
-        .alias("fill_frac"),
+        # every-bin-oversize -> 0.0 by definition, not a NULL that reads
+        # as missing data downstream (ADVICE r4)
+        F.when(n_reg > 0,
+               F.round(F.sum(F.when(reg, F.col("toks")).otherwise(0))
+                       / (n_reg * capacity), 6))
+        .otherwise(F.lit(0.0)).alias("fill_frac"),
     )
 
 

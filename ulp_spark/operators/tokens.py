@@ -559,23 +559,74 @@ def incremental_sequence_dedup(
     writes only the batch's new fingerprints (16-byte keys, never token
     payloads).  NOT atomic vs concurrent writers by itself — serialize
     runs through plans/manifest.py like the fan-out sinks do.
+
+    State safety (ADVICE r4): "first run" is decided by an EXPLICIT
+    existence check on ``state_path`` (Hadoop FileSystem API, so the same
+    code answers for file://, hdfs:// and s3a://), never by catching a
+    read error — a transient read failure on a mature store raises
+    instead of silently masquerading as an empty history.  The write is
+    ALWAYS ``mode("append")`` (append onto a missing path creates it), so
+    no code path can overwrite — and thereby destroy — accumulated
+    fingerprint history.
     """
     spark = df.sparkSession
     fp = token_fingerprint(F.col(tokens_col)).alias("fp")
     batch = df.select(fp, F.col(id_col))
     batch_min = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    try:
+    if _path_exists(spark, state_path):
+        # a real read error here (corrupt footer, permission blip,
+        # eventual-consistency miss) must abort the run loudly: let it
+        # raise — the only safe "empty state" is a state that does not
+        # exist
         seen = spark.read.parquet(state_path).select("fp")
-        have_state = True
-    except Exception:  # first run: no state yet
+    else:
         seen = spark.createDataFrame([], "fp string")
-        have_state = False
     fresh = batch_min.join(seen, "fp", "left_anti")
     # materialize the new-key set once: it feeds BOTH the state append
     # and the survivor semi-join (and the append must not re-race the
     # state scan it just anti-joined against)
     fresh = seam(fresh)
-    fresh.select("fp").write.mode(
-        "append" if have_state else "overwrite").parquet(state_path)
+    fresh.select("fp").write.mode("append").parquet(state_path)
     return df.select("*", fp).join(
         fresh, ["fp", id_col], "left_semi").drop("fp")
+
+
+def _path_exists(spark, path: str) -> bool:
+    """Scheme-aware existence check via the Hadoop FileSystem API (the
+    same resolver Spark's own readers use), so local paths, HDFS and
+    object stores all answer correctly."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def compact_dedup_state(
+    spark, state_path: str, target_rows_per_file: int = 50_000_000,
+    min_files: int = 8,
+) -> dict[str, int]:
+    """Maintenance compaction for the incremental-dedup state store: the
+    parquet fingerprint directory grows one file set per run forever
+    (daily ingest -> hundreds of small files within a year), so listing
+    and footer-open overhead eventually dominates the state scan.
+
+    Rewrites the directory into ``ceil(distinct_fps /
+    target_rows_per_file)`` files of DISTINCT fingerprints — serialized
+    runs only ever append novel fps, but distinct also self-heals a store
+    that absorbed a concurrent double-append.  Rides fanout.compact_route
+    verbatim: same temp-dir + two-rename swap, same repair_compaction
+    crash contract at entry (crashed compactions are restored or cleaned,
+    data is never lost).  Run it BETWEEN dedup runs — the swap is not
+    atomic for a concurrent reader (compact_route docstring).  The
+    anti-join result is unchanged by compaction (pinned in pytest).
+
+    At cluster scale the same maintenance is Iceberg's
+    rewrite_data_files on the state table (BASELINE.md substitution
+    table).  16-byte keys at 10^12 sequences ~= 16 TB of state; size
+    target_rows_per_file so one file ~= a few hundred MB.
+    """
+    from ulp_spark.operators.fanout import compact_route
+
+    return compact_route(
+        spark, state_path, target_rows_per_file=target_rows_per_file,
+        min_files=min_files, distinct=True)
