@@ -1491,3 +1491,117 @@ def test_compact_dedup_state_preserves_antijoin(spark, tmp_path):
         [("new", [999, 1000])], "doc_id string, tokens array<int>")
     assert tokens.incremental_sequence_dedup(
         fresh, "tokens", "doc_id", state).count() == 1
+
+
+def _bpe_ref(s, merges, vocab, unk_id=-1, lowercase=True):
+    """Independent pure-Python merge-loop oracle (Sennrich 2016): lowest
+    rank present wins each iteration, all occurrences merged L->R."""
+    if s is None:
+        return []
+    if lowercase:
+        s = s.lower()
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    big = len(ranks) + 1
+    word = list(s)
+    while len(word) >= 2:
+        best, br = None, big
+        for i in range(len(word) - 1):
+            r = ranks.get((word[i], word[i + 1]), big)
+            if r < br:
+                best, br = (word[i], word[i + 1]), r
+        if best is None or br == big:
+            break
+        l, rt = best
+        out, i = [], 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == l and word[i + 1] == rt:
+                out.append(l + rt)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = out
+    vm = {p: i for i, p in enumerate(vocab)}
+    return [vm.get(w, unk_id) for w in word]
+
+
+_BPE_MERGES = [("b", "c"), ("a", "b"), ("bc", "d")]
+_BPE_VOCAB = ["a", "b", "c", "d", "ab", "bc", "bcd"]
+
+
+def test_bpe_tokenize_matches_reference_and_duckdb(spark):
+    from ulp_spark.operators import tokenizer
+
+    rows = [("r1", "abc"), ("r2", "abcd"), ("r3", ""), ("r4", None),
+            ("r5", "xbca"), ("r6", "aaabcbc"), ("r7", "bcdbcd"),
+            ("r8", "ABcD")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (list(r.tokens), r.n_tok)
+           for r in tokenizer.bpe_tokenize(
+               df, "text", "doc_id", _BPE_MERGES, _BPE_VOCAB).collect()}
+    exp = {k: (_bpe_ref(v, _BPE_MERGES, _BPE_VOCAB),
+               len(_bpe_ref(v, _BPE_MERGES, _BPE_VOCAB))) for k, v in rows}
+    assert got == exp
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    sql = tokenizer.bpe_tokenize_sql(
+        "t", "text", "doc_id", _BPE_MERGES, _BPE_VOCAB)
+    oracle = {r[0]: (list(r[1]), r[2]) for r in con.sql(sql).fetchall()}
+    assert oracle == exp
+
+
+def test_bpe_tokenize_diverges_from_greedy_where_documented(spark):
+    """The tokenize docstring's concession, exhibited: greedy longest-match
+    picks [ab, c] on 'abc'; merge-rank BPE with (b,c) ranked first gives
+    [a, bc]."""
+    from ulp_spark.operators import tokenizer
+
+    gv = ["a", "b", "c", "ab", "bc"]
+    df = spark.createDataFrame([("x", "abc")], "doc_id string, text string")
+    greedy = list(tokenizer.tokenize(df, "text", "doc_id", gv)
+                  .collect()[0].tokens)
+    bpe = list(tokenizer.bpe_tokenize(
+        df, "text", "doc_id", [("b", "c"), ("a", "b")], gv)
+        .collect()[0].tokens)
+    assert greedy == [3, 2]        # [ab, c]
+    assert bpe == [0, 4]           # [a, bc]
+    assert greedy != bpe
+
+
+def test_bpe_tokenize_randomized_against_reference(spark):
+    import random
+
+    from ulp_spark.operators import tokenizer
+
+    rng = random.Random(7)
+    merges = [("a", "a"), ("b", "a"), ("aa", "b"), ("c", "aab"), ("b", "b")]
+    vocab = ["a", "b", "c", "aa", "ba", "aab", "caab", "bb"]
+    rows = [(i, "".join(rng.choice("abc") for _ in range(rng.randrange(0, 40))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: list(r.tokens) for r in tokenizer.bpe_tokenize(
+        df, "t", "id", merges, vocab).collect()}
+    for i, s in rows:
+        assert got[i] == _bpe_ref(s, merges, vocab), (s, got[i])
+
+
+def test_bpe_learn_apply_bridge(spark):
+    """vocab.bpe_top_merges -> merges_from_pairs -> bpe_tokenize closes
+    the learn->apply loop; the applied merges are the learned ranking."""
+    from ulp_spark.operators import tokenizer, vocab as V
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id long, text string")
+    pairs = [r.pair for r in V.bpe_top_merges(docs, "text", k=4).collect()]
+    merges = tokenizer.merges_from_pairs(pairs)
+    base = sorted(set("the cat sat on the mat"))
+    vocab = base + sorted({l + r for l, r in merges} - set(base))
+    out = tokenizer.bpe_tokenize(docs, "text", "doc_id", merges, vocab)
+    got = {r.doc_id: list(r.tokens) for r in out.collect()}
+    exp = _bpe_ref("the cat sat on the mat", merges, vocab)
+    assert all(t == exp for t in got.values())
+    # learned merge symbols actually fire: some emitted id is a merge piece
+    merged_ids = {vocab.index(l + r) for l, r in merges if l + r in vocab}
+    assert merged_ids & set(exp)

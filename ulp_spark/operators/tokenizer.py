@@ -184,3 +184,192 @@ def detokenize(
             F.array_sort(F.collect_list(F.struct("pos", "piece"))),
             lambda s: s["piece"])).alias("text"))
     )
+
+
+# --------------------------------------------------------------------------
+# True BPE merge-rank application (closes the learn -> apply loop with
+# vocab.bpe_top_merges; reference-free breadth — the reference has no
+# tokenizer, Sennrich et al. 2016 arXiv:1508.07909 defines the algorithm)
+# --------------------------------------------------------------------------
+
+def bpe_tokenize(
+    df: DataFrame, text_col: str, id_col: str,
+    merges: list[tuple[str, str]], vocab: list[str],
+    unk_id: int = -1, lowercase: bool = True,
+) -> DataFrame:
+    """(id, tokens array<int>, n_tok) by ITERATIVE merge-rank BPE — the
+    faithful GPT-2/Llama-style apply, not greedy longest-match: start
+    from characters, repeatedly pick the adjacent symbol pair with the
+    LOWEST merge rank present and merge ALL its occurrences left-to-right
+    (non-overlapping), until no adjacent pair is in the merge table;
+    then map final symbols to ids via ``vocab`` (absent symbol ->
+    ``unk_id``).  ``tokenize``'s docstring concedes greedy can diverge
+    from this on adversarial vocabularies; the divergence is pinned as a
+    pytest case.  ``merges[i]`` has rank i — exactly the order
+    ``vocab.bpe_top_merges`` emits (see ``merges_from_pairs``).
+
+    Scale shape: identical to ``tokenize`` — the merge recurrence is
+    variable-length and order-dependent (each step depends on the whole
+    current symbol sequence), so it is the same designed mapInPandas
+    path: ranks+vocab broadcast once per executor, Arrow batches, zero
+    shuffles, partitioning passed through.  Per-string cost is
+    O(len^2) worst case (each merge pass scans the symbols; symbol count
+    strictly decreases), in practice O(len * applied_merges).
+    """
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab has duplicate pieces")
+    seen = set()
+    for m in merges:
+        if len(m) != 2 or not m[0] or not m[1]:
+            raise ValueError(f"merge must be a pair of non-empty strings: {m!r}")
+        if tuple(m) in seen:
+            raise ValueError(f"duplicate merge pair: {m!r}")
+        seen.add(tuple(m))
+    sc = df.sparkSession.sparkContext
+    branks = sc.broadcast({(l, r): i for i, (l, r) in enumerate(merges)})
+    bvocab = sc.broadcast({p: i for i, p in enumerate(vocab)})
+
+    id_field = df.schema[id_col]
+    schema = T.StructType([
+        id_field,
+        T.StructField("tokens", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        import pandas as pd
+
+        ranks = branks.value
+        v = bvocab.value
+        big = len(ranks) + 1
+
+        def bpe(s):
+            word = list(s)
+            while len(word) >= 2:
+                # lowest-rank adjacent pair present this iteration
+                best, best_rank = None, big
+                for i in range(len(word) - 1):
+                    r = ranks.get((word[i], word[i + 1]), big)
+                    if r < best_rank:
+                        best, best_rank = (word[i], word[i + 1]), r
+                if best is None or best_rank == big:
+                    break
+                l, rgt = best
+                out, i = [], 0
+                while i < len(word):          # merge ALL occurrences, L->R
+                    if (i < len(word) - 1 and word[i] == l
+                            and word[i + 1] == rgt):
+                        out.append(l + rgt)
+                        i += 2
+                    else:
+                        out.append(word[i])
+                        i += 1
+                word = out
+            return [v.get(sym, unk_id) for sym in word]
+
+        for pdf in batches:
+            toks = []
+            for s in pdf[text_col]:
+                if s is None:
+                    toks.append([])
+                    continue
+                if lowercase:
+                    s = s.lower()
+                toks.append(bpe(s))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "tokens": toks,
+                "n_tok": [len(t) for t in toks],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def merges_from_pairs(pairs: list[str]) -> list[tuple[str, str]]:
+    """Adapt ``vocab.bpe_top_merges`` output (ranked 2-char ``pair``
+    strings) into the (left, right) merge list ``bpe_tokenize`` consumes
+    — the learn -> apply bridge."""
+    out = []
+    for p in pairs:
+        if len(p) != 2:
+            raise ValueError(f"bpe_top_merges pairs are 2 chars, got {p!r}")
+        out.append((p[0], p[1]))
+    return out
+
+
+_SEP = "\x01"
+
+
+def bpe_tokenize_sql(
+    table: str, text_col: str, id_col: str,
+    merges: list[tuple[str, str]], vocab: list[str],
+    unk_id: int = -1, lowercase: bool = True,
+) -> str:
+    """DuckDB twin of ``bpe_tokenize`` as a recursive CTE.  One recursion
+    step applies ONE full merge: symbols ride as a chr(1)-joined string,
+    the best present pair is the lowest-rank one whose
+    ``SEP||l||SEP||r||SEP`` pattern occurs, and ``replace()`` (all
+    non-overlapping occurrences, left-to-right) IS the BPE merge-all
+    semantics — shared boundary separators make consecutive occurrences
+    resolve left-to-right exactly like the symbol walk.  Oracle-scale
+    only.  Pieces/merges must not contain chr(1) (guarded)."""
+    for p in vocab:
+        if _SEP in p:
+            raise ValueError("vocab piece contains the reserved separator")
+    for l, r in merges:
+        if _SEP in l or _SEP in r:
+            raise ValueError("merge side contains the reserved separator")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    mrows = ", ".join(
+        f"({i}, {q(l)}, {q(r)})" for i, (l, r) in enumerate(merges))
+    vkeys = ", ".join(q(p) for p in vocab)
+    vids = ", ".join(str(i) for i in range(len(vocab)))
+    text = f"lower({text_col})" if lowercase else text_col
+    # string_split('', SEP) yields [''], so empty text needs the guard
+    return f"""
+        WITH RECURSIVE m(rank, l, r) AS (VALUES {mrows}),
+        src AS (
+          SELECT {id_col},
+                 list_aggregate(string_split(coalesce({text}, ''), ''),
+                                'string_agg', chr(1)) AS s
+          FROM {table}
+        ),
+        step AS (
+          SELECT {id_col}, coalesce(s, '') AS s, 0 AS done FROM src
+          UNION ALL
+          SELECT {id_col},
+                 CASE WHEN b.rank IS NULL THEN s ELSE
+                   substr(replace(chr(1) || s || chr(1),
+                                  chr(1) || b.l || chr(1) || b.r || chr(1),
+                                  chr(1) || b.l || b.r || chr(1)),
+                          2, length(replace(chr(1) || s || chr(1),
+                                  chr(1) || b.l || chr(1) || b.r || chr(1),
+                                  chr(1) || b.l || b.r || chr(1))) - 2)
+                 END,
+                 CASE WHEN b.rank IS NULL THEN 1 ELSE 0 END
+          FROM step LEFT JOIN LATERAL (
+            SELECT m.rank, m.l, m.r FROM m
+            WHERE instr(chr(1) || step.s || chr(1),
+                        chr(1) || m.l || chr(1) || m.r || chr(1)) > 0
+            ORDER BY m.rank LIMIT 1
+          ) b ON TRUE
+          WHERE done = 0
+        ),
+        final AS (SELECT {id_col}, s FROM step WHERE done = 1)
+        SELECT {id_col},
+               CASE WHEN s = '' THEN CAST([] AS INT[]) ELSE
+                 list_transform(
+                   string_split(s, chr(1)),
+                   sym -> coalesce(
+                     map_extract(map([{vkeys}], [{vids}]), sym)[1],
+                     {unk_id})::INT)
+               END AS tokens,
+               CASE WHEN s = '' THEN 0 ELSE
+                 len(string_split(s, chr(1))) END::INT AS n_tok
+        FROM final
+    """
