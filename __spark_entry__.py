@@ -679,6 +679,34 @@ def _q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.linear_quality_score(d, "text", "doc_id")
 
 
+def _q_corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition — the full text -> training-batches story as
+    ONE plan: tokenize (mapInPandas, broadcast vocab, zero shuffles) ->
+    exact sequence dedup on token fingerprints -> fixed-token-budget
+    shard manifest (distributed prefix sum, no SinglePartition stage).
+
+    The dedup census collapses the tokenized frame to key scale in a
+    single pass — (fp, min doc_id, min n_tok); identical arrays share
+    n_tok, so the survivor's length rides the same aggregate and no
+    second tokenize scan (or join-back) exists.  The census RESULT feeds
+    global_cumsum, which consumes its input three times (range
+    boundaries, bucket totals, the window pass) — the fan-out seam rule's
+    fourth sighting, so the census is seam-materialized BEFORE the
+    manifest instead of re-running tokenize+census per consumer.
+    """
+    from ulp_spark.operators import sharding, tokenizer
+    from ulp_spark.operators import tokens as _tokens
+    from ulp_spark.session import seam as _seam
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = tokenizer.tokenize(d, "text", "doc_id", _TOKENIZE_VOCAB)
+    surv = _seam(
+        tok.groupBy(_tokens.token_fingerprint(F.col("tokens")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok")))
+    return sharding.shard_manifest(
+        surv.select("doc_id", "n_tok"), shard_tokens=1 << 12)
+
+
 def _q_events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed anomaly detection: rows > 3 population stddevs from their
     (event_type, day) mean; stats side broadcast, events never shuffled."""
@@ -883,14 +911,16 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   verdicts.  Every op gets a driver verdict at least once across rounds;
 #   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
-    # r4 additions landed after the second rotation; gate at its 50-row
-    # cap — pytest-parity-gated, rotation candidates for r5
-    "seq_epoch_order",
-    "seq_balanced_writers",
-    "seq_mixing_plan",
-    "doc_quality_classifier",
-    "doc_tokenize",
-    "doc_strip_boilerplate",
+    # r5 rotation (VERDICT r4 #1): the six r4-new ops + the flagship
+    # composition take driver slots; seven long-stable queries (green in
+    # CORRECTNESS r01-r04) park here under the same pytest-parity gate
+    "doc_ngram_jaccard",
+    "emb_ivf_cells_trained",
+    "events_range_join",
+    "doc_bigram_coverage",
+    "events_windowed_deltas",
+    "doc_profile",
+    "doc_length_quantiles",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -969,6 +999,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "seq_token_contamination": _q_seq_token_contamination,
         "events_value_anomalies": _q_events_value_anomalies,
+        "corpus_training_batches": _q_corpus_training_batches,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
@@ -1122,6 +1153,21 @@ def _anomalies_sql() -> str:
     from ulp_spark.operators import anomaly
 
     return anomaly.value_anomalies_sql("events")
+
+
+def _training_batches_sql() -> str:
+    """Flagship oracle: the same tokenize -> fp-census dedup -> shard
+    manifest chain, composed from each stage's own SQL twin (the census
+    takes min(n_tok) because identical arrays share n_tok)."""
+    from ulp_spark.operators import sharding, tokenizer
+    from ulp_spark.operators import tokens as _tokens
+
+    tok = tokenizer.tokenize_sql("documents", "text", "doc_id",
+                                 _TOKENIZE_VOCAB)
+    fp = _tokens.token_fingerprint_sql("tokens")
+    surv = (f"(SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok "
+            f"FROM ({tok}) GROUP BY {fp})")
+    return sharding.shard_manifest_sql(surv, shard_tokens=1 << 12)
 
 
 def _split_counts_sql() -> str:
@@ -1495,6 +1541,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_exact_dedup": _seq_dedup_sql(),
         "seq_token_contamination": _seq_contamination_sql(),
         "events_value_anomalies": _anomalies_sql(),
+        "corpus_training_batches": _training_batches_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),

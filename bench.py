@@ -202,12 +202,17 @@ def main() -> None:
                    "frac_scanned": r.frac_scanned}
         for r in recall_rows
     }
-    n_clu = max(2000, n_emb)
+    # VERDICT r4 #5: >= 50k vectors so the train-on-sample design is
+    # actually stressed — the 8k sample is a strict 16% subsample, the
+    # FAISS pattern (bounded driver memory) the trainer exists for.
+    n_clu = max(50_000, n_emb)
+    clu_sample = 8_000
     clu = fixtures.clustered_embeddings(spark, n_clu, dim=64, clusters=20) \
         .localCheckpoint()
     t0t = time.perf_counter()
     scents = similarity.ivf_train_spherical(
-        clu, "embedding", "vec_id", k=32, rounds=10)
+        clu, "embedding", "vec_id", k=32, rounds=10, sample=clu_sample)
+    train_sec = round(time.perf_counter() - t0t, 3)
     tuned = similarity.tune_n_probe(
         clu, "embedding", "vec_id", list(range(0, n_clu, n_clu // 10))[:10],
         scents, dim=64, target_recall=0.85, max_probe=4)
@@ -273,7 +278,10 @@ def main() -> None:
                 "vectors": n_emb, "sec": ann_sec, "recall": ann,
                 "tuned": {"table": "clustered_embeddings T4 fixture",
                           "vectors": n_clu, "sec": tuned_sec,
-                          "train": "spherical k=32, 10 rounds",
+                          "train": (f"spherical k=32, 10 rounds, "
+                                    f"sample={clu_sample} "
+                                    f"({100 * clu_sample // n_clu}% of data)"),
+                          "train_sec": train_sec,
                           **tuned}},
         "lsh": {"docs": lsh_docs.count(), "candidate_pairs": int(n_pairs),
                 "minhash_candidates_sec": lsh_sec},
