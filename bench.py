@@ -24,7 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from ulp_spark.operators import lattice, parse, route_cast  # noqa: E402
 from ulp_spark.plans import pipeline  # noqa: E402
-from ulp_spark.session import get_spark  # noqa: E402
+from ulp_spark.session import get_spark, seam  # noqa: E402
 
 SF_SEQS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
 
@@ -169,10 +169,37 @@ def main() -> None:
     tok_in = big.filter(F.col("doc_id") % 5 == 0)
     n_tok_docs = n_docs // 5
     t0t = time.perf_counter()
-    tok_out = tokenizer.tokenize(tok_in, "text", "doc_id",
-                                 _entry._TOKENIZE_VOCAB)
+    tok_out = seam(tokenizer.tokenize(tok_in, "text", "doc_id",
+                                      _entry._TOKENIZE_VOCAB))
     n_toks_out = tok_out.agg(F.sum("n_tok")).collect()[0][0]
     tokenize_sec = round(time.perf_counter() - t0t, 3)
+
+    # FLAGSHIP composition (VERDICT r4 #4): the text -> training-batches
+    # chain as one job over the tokenized slice — fp-census exact dedup
+    # -> doc-boundary bin packing -> packed-row materialization (token
+    # arrays move exactly once) -> shard manifest over the packed rows.
+    # tok_out is seam-materialized above (it feeds the census AND
+    # pack_sequences — the fan-out rule), so this wall measures the
+    # downstream chain; the full-story wall = tokenize_sec + this.
+    from ulp_spark.operators import packing as _packing  # noqa: E402
+    from ulp_spark.operators import sharding as _sharding  # noqa: E402
+    from ulp_spark.operators import tokens as _tokens  # noqa: E402
+    t0f = time.perf_counter()
+    census = (
+        tok_out.groupBy(_tokens.token_fingerprint(F.col("tokens"))
+                        .alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok")))
+    # census has ONE consumer (pack_bins) — no seam; packed has four
+    # (pack_sequences' join + global_cumsum's three passes) — seam it
+    packed = seam(_packing.pack_bins(census.select("doc_id", "n_tok"),
+                                     capacity=2048, buckets=256))
+    rows_df = _packing.pack_sequences(tok_out, packed)
+    packed_rows, packed_toks = rows_df.agg(
+        F.count(F.lit(1)), F.sum("n_tok")).collect()[0]
+    manifest = _sharding.shard_manifest(
+        packed.select("doc_id", "n_tok"), shard_tokens=1 << 22)
+    n_shards = manifest.count()
+    batches_sec = round(time.perf_counter() - t0f, 3)
 
     # ANN: recall@10 vs brute force + wall time (the recall/cost curve a
     # user tunes n_probe with; floors are pinned in pytest).  TWO regimes,
@@ -273,6 +300,19 @@ def main() -> None:
                              if tokenize_sec else None),
             "tokens_per_sec": (round(n_toks_out / tokenize_sec, 1)
                                if tokenize_sec else None),
+        },
+        "training_batches": {
+            "chain": "tokenize -> fp-census dedup -> pack_bins(2048) "
+                     "-> pack_sequences -> shard_manifest",
+            "docs_in": n_tok_docs,
+            "packed_rows": int(packed_rows),
+            "packed_tokens": int(packed_toks),
+            "shards": int(n_shards),
+            "downstream_sec": batches_sec,
+            "total_sec": round(tokenize_sec + batches_sec, 3),
+            "tokens_per_sec": (round(packed_toks
+                                     / (tokenize_sec + batches_sec), 1)
+                               if tokenize_sec + batches_sec else None),
         },
         "ann": {"table": "sf embeddings (isotropic noise; recall bound ~= frac_scanned)",
                 "vectors": n_emb, "sec": ann_sec, "recall": ann,
