@@ -679,6 +679,29 @@ def _q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.linear_quality_score(d, "text", "doc_id")
 
 
+# Fixed merge list + vocab for the BPE-apply query: common English
+# letter merges (rank = list order) over a base alphabet; unmatched
+# symbols -> unk.  bpe_tokenize applies them with true merge-rank
+# iteration (lowest rank present wins, all occurrences merge L->R).
+_BPE_Q_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+                 ("a", "n"), ("o", "n"), ("s", "t"), ("in", "g")]
+_BPE_Q_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+    + ["th", "the", "in", "er", "an", "on", "st", "ing"]
+)
+
+
+def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BPE merge-rank APPLY (vs doc_tokenize's greedy inference):
+    iterative lowest-rank merging via the same designed mapInPandas path;
+    oracle is the recursive-CTE twin driving one full merge per step."""
+    from ulp_spark.operators import tokenizer
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return tokenizer.bpe_tokenize(
+        d, "text", "doc_id", _BPE_Q_MERGES, _BPE_Q_VOCAB)
+
+
 def _q_corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP composition — the full text -> training-batches story as
     ONE plan: tokenize (mapInPandas, broadcast vocab, zero shuffles) ->
@@ -921,6 +944,9 @@ _PYTEST_ONLY = frozenset({
     "events_windowed_deltas",
     "doc_profile",
     "doc_length_quantiles",
+    # r5-new: full recursive-CTE oracle through the same pytest-parity
+    # gate; driver-slate rotation candidate for r6
+    "doc_bpe_tokenize",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1000,6 +1026,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_token_contamination": _q_seq_token_contamination,
         "events_value_anomalies": _q_events_value_anomalies,
         "corpus_training_batches": _q_corpus_training_batches,
+        "doc_bpe_tokenize": _q_doc_bpe_tokenize,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
@@ -1153,6 +1180,13 @@ def _anomalies_sql() -> str:
     from ulp_spark.operators import anomaly
 
     return anomaly.value_anomalies_sql("events")
+
+
+def _bpe_tokenize_sql() -> str:
+    from ulp_spark.operators import tokenizer
+
+    return tokenizer.bpe_tokenize_sql(
+        "documents", "text", "doc_id", _BPE_Q_MERGES, _BPE_Q_VOCAB)
 
 
 def _training_batches_sql() -> str:
@@ -1542,6 +1576,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_token_contamination": _seq_contamination_sql(),
         "events_value_anomalies": _anomalies_sql(),
         "corpus_training_batches": _training_batches_sql(),
+        "doc_bpe_tokenize": _bpe_tokenize_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),
