@@ -691,6 +691,18 @@ _BPE_Q_VOCAB = (
 )
 
 
+def _q_seq_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking over the input_hint table (the
+    split-allowed complement to pack_bins): capacity-128 windows at
+    stride 96 (25% overlap), trailing windows kept at >= 16 tokens.
+    Narrow JVM explode — no shuffle; co-partitions with the input."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.chunk_sequences(
+        seq, "tokens", "doc_id", capacity=128, stride=96, min_tokens=16)
+
+
 def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE merge-rank APPLY (vs doc_tokenize's greedy inference):
     iterative lowest-rank merging via the same designed mapInPandas path;
@@ -944,9 +956,10 @@ _PYTEST_ONLY = frozenset({
     "events_windowed_deltas",
     "doc_profile",
     "doc_length_quantiles",
-    # r5-new: full recursive-CTE oracle through the same pytest-parity
-    # gate; driver-slate rotation candidate for r6
+    # r5-new: full DuckDB oracles through the same pytest-parity gate;
+    # driver-slate rotation candidates for r6
     "doc_bpe_tokenize",
+    "seq_chunk_windows",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1027,6 +1040,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_anomalies": _q_events_value_anomalies,
         "corpus_training_batches": _q_corpus_training_batches,
         "doc_bpe_tokenize": _q_doc_bpe_tokenize,
+        "seq_chunk_windows": _q_seq_chunk_windows,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
@@ -1180,6 +1194,14 @@ def _anomalies_sql() -> str:
     from ulp_spark.operators import anomaly
 
     return anomaly.value_anomalies_sql("events")
+
+
+def _chunk_windows_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.chunk_sequences_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
+        capacity=128, stride=96, min_tokens=16)
 
 
 def _bpe_tokenize_sql() -> str:
@@ -1577,6 +1599,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "events_value_anomalies": _anomalies_sql(),
         "corpus_training_batches": _training_batches_sql(),
         "doc_bpe_tokenize": _bpe_tokenize_sql(),
+        "seq_chunk_windows": _chunk_windows_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),

@@ -1629,3 +1629,58 @@ def test_ivf_sampled_training_holds_recall_at_scale(spark):
     assert res["met"], res
     assert res["recall_at_k"] >= 0.85, res
     assert res["frac_scanned"] <= 0.35, res
+
+
+def test_chunk_sequences_sliding_windows_hand_computed(spark):
+    """capacity=4, stride=2 over 9 tokens: starts 0,2,4,6,8 -> windows
+    [0:4],[2:6],[4:8],[6:9],[8:9]; min_tokens=2 drops the final 1-token
+    tail.  Overlap must be exact (each chunk re-reads its left context)."""
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", list(range(9))), ("empty", [])],
+        "doc_id string, tokens array<int>")
+    out = tokens.chunk_sequences(
+        df, "tokens", "doc_id", capacity=4, stride=2, min_tokens=2)
+    got = {(r.doc_id, r.chunk_idx): (list(r.tokens), r.n_tok)
+           for r in out.collect()}
+    assert got == {
+        ("a", 0): ([0, 1, 2, 3], 4),
+        ("a", 1): ([2, 3, 4, 5], 4),
+        ("a", 2): ([4, 5, 6, 7], 4),
+        ("a", 3): ([6, 7, 8], 3),
+    }  # empty doc -> no rows; 1-token tail at start 8 dropped
+
+
+def test_chunk_sequences_full_windows_only_and_validation(spark):
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", list(range(10)))], "doc_id string, tokens array<int>")
+    # min_tokens=capacity: only complete windows survive (10 // 4 -> 2)
+    out = tokens.chunk_sequences(
+        df, "tokens", "doc_id", capacity=4, min_tokens=4)
+    rows = sorted((r.chunk_idx, list(r.tokens)) for r in out.collect())
+    assert rows == [(0, [0, 1, 2, 3]), (1, [4, 5, 6, 7])]
+    with pytest.raises(ValueError):
+        tokens.chunk_sequences(df, "tokens", "doc_id", capacity=0)
+    with pytest.raises(ValueError):
+        tokens.chunk_sequences(df, "tokens", "doc_id", capacity=4, stride=5)
+    with pytest.raises(ValueError):
+        tokens.chunk_sequences(df, "tokens", "doc_id", capacity=4, stride=0)
+
+
+def test_chunk_sequences_no_shuffle_and_token_conservation(spark):
+    """Plan pin: the explode is narrow — no Exchange anywhere (output
+    co-partitions with the input).  With stride == capacity every token
+    appears exactly once across chunks (conservation)."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, 300)
+    out = tokens.chunk_sequences(seq, "tokens", "doc_id", capacity=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    tot = out.agg(F.sum("n_tok").alias("s")).collect()[0].s
+    exp = seq.agg(F.sum(F.size("tokens")).alias("s")).collect()[0].s
+    assert tot == exp

@@ -630,3 +630,70 @@ def compact_dedup_state(
     return compact_route(
         spark, state_path, target_rows_per_file=target_rows_per_file,
         min_files=min_files, distinct=True)
+
+
+def chunk_sequences(
+    df: DataFrame, tokens_col: str, id_col: str,
+    capacity: int = 2048, stride: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split each sequence into fixed-``capacity`` token windows — the
+    long-document complement to packing.pack_bins (which NEVER splits):
+    chunk i covers tokens [i*step, i*step + capacity) with step =
+    ``stride`` or ``capacity``; ``stride < capacity`` yields overlapping
+    context windows (GPT-style sliding-window chunking, so no token loses
+    its left context at a hard boundary).  Returns (id, chunk_idx,
+    tokens, n_tok); trailing windows shorter than ``min_tokens`` are
+    dropped (set min_tokens=capacity to keep only full windows; empty
+    sequences produce no rows).
+
+    Scale shape: a narrow per-row explode — ``sequence`` of starts +
+    ``slice`` per window, JVM higher-order functions end to end, no
+    shuffle; output co-partitions with the input.  Row growth is
+    n/step chunks per sequence (bounded by design); the overlap factor
+    capacity/step multiplies bytes out, which is the documented cost of
+    sliding-window training data.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    step = capacity if stride is None else stride
+    if step < 1 or step > capacity:
+        raise ValueError("stride must be in [1, capacity]")
+    n = F.size(F.col(tokens_col))
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))) \
+        .otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(
+        F.col(tokens_col), F.col("__start") + 1, F.lit(capacity))
+    ex = df.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    return (
+        ex.select(
+            id_col, "chunk_idx",
+            chunk.alias(tokens_col),
+            F.size(chunk).alias("n_tok"))
+        .filter(F.col("n_tok") >= min_tokens)
+    )
+
+
+def chunk_sequences_sql(
+    table: str, tokens_col: str, id_col: str,
+    capacity: int = 2048, stride: int | None = None,
+    min_tokens: int = 1,
+) -> str:
+    step = capacity if stride is None else stride
+    return f"""
+        SELECT {id_col}, chunk_idx,
+               tokens, len(tokens)::INT AS n_tok
+        FROM (
+          SELECT {id_col},
+                 CAST(s.i // {step} AS INT) AS chunk_idx,
+                 {tokens_col}[s.i + 1 : s.i + {capacity}] AS tokens
+          FROM {table},
+               LATERAL (SELECT unnest(range(0, greatest(len({tokens_col}), 0),
+                                            {step})) AS i) s
+        )
+        WHERE len(tokens) >= {min_tokens}
+    """
