@@ -703,6 +703,30 @@ def _q_seq_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "tokens", "doc_id", capacity=128, stride=96, min_tokens=16)
 
 
+def _q_seq_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement over the
+    input_hint table: 200 sequences with inclusion odds proportional to
+    n_tok (token-proportional subsetting) via Efraimidis-Spirakis keys
+    from md5(seed:doc_id).  Compiles to TakeOrderedAndProject — partition
+    top-k heaps, no global sort shuffle."""
+    from ulp_spark.operators import sampling
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return sampling.weighted_sample(
+        seq.select("doc_id", "n_tok", "source"),
+        "n_tok", "doc_id", k=200, seed="r5")
+
+
+def _q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for length-bucketed batching (the cheap
+    alternative to pack_bins): power-of-two buckets floored at 32, one
+    map-side expression + one dozen-row groupBy."""
+    from ulp_spark.operators import packing
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return packing.length_bucket_stats(seq, "n_tok", min_bucket=32)
+
+
 def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE merge-rank APPLY (vs doc_tokenize's greedy inference):
     iterative lowest-rank merging via the same designed mapInPandas path;
@@ -960,6 +984,8 @@ _PYTEST_ONLY = frozenset({
     # driver-slate rotation candidates for r6
     "doc_bpe_tokenize",
     "seq_chunk_windows",
+    "seq_weighted_sample",
+    "seq_length_buckets",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1041,6 +1067,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_training_batches": _q_corpus_training_batches,
         "doc_bpe_tokenize": _q_doc_bpe_tokenize,
         "seq_chunk_windows": _q_seq_chunk_windows,
+        "seq_weighted_sample": _q_seq_weighted_sample,
+        "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "events_sessions": _q_events_sessions,
@@ -1224,6 +1252,21 @@ def _training_batches_sql() -> str:
     surv = (f"(SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok "
             f"FROM ({tok}) GROUP BY {fp})")
     return sharding.shard_manifest_sql(surv, shard_tokens=1 << 12)
+
+
+def _weighted_sample_sql() -> str:
+    from ulp_spark.operators import sampling
+
+    return sampling.weighted_sample_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "doc_id",
+        k=200, seed="r5", cols="doc_id, n_tok, source")
+
+
+def _length_buckets_sql() -> str:
+    from ulp_spark.operators import packing
+
+    return packing.length_bucket_stats_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", min_bucket=32)
 
 
 def _split_counts_sql() -> str:
@@ -1600,6 +1643,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "corpus_training_batches": _training_batches_sql(),
         "doc_bpe_tokenize": _bpe_tokenize_sql(),
         "seq_chunk_windows": _chunk_windows_sql(),
+        "seq_weighted_sample": _weighted_sample_sql(),
+        "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),

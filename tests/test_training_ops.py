@@ -1684,3 +1684,89 @@ def test_chunk_sequences_no_shuffle_and_token_conservation(spark):
     tot = out.agg(F.sum("n_tok").alias("s")).collect()[0].s
     exp = seq.agg(F.sum(F.size("tokens")).alias("s")).collect()[0].s
     assert tot == exp
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Efraimidis-Spirakis correctness signals: (a) exact k rows, (b) the
+    same seed reproduces the same membership at different partitioning,
+    (c) heavier rows are sampled at measurably higher rate (w=9 vs w=1
+    at a 50% sampling frac must separate decisively), (d) non-positive /
+    NULL weights never appear."""
+    from ulp_spark.operators import sampling
+
+    rows = [(f"h{i:04d}", 9) for i in range(500)] + \
+           [(f"l{i:04d}", 1) for i in range(500)] + \
+           [("z0", 0), ("z1", None)]
+    df = spark.createDataFrame(rows, "doc_id string, w int")
+    got = sampling.weighted_sample(df, "w", "doc_id", k=500, seed="t")
+    ids = {r.doc_id for r in got.collect()}
+    assert len(ids) == 500
+    assert not any(i.startswith("z") for i in ids)
+    heavy = sum(1 for i in ids if i.startswith("h"))
+    # E[heavy] ~ 450 of 500 under w=9:1 (ES inclusion ~ w-proportional
+    # until saturation); a uniform sampler would land ~250.  >=350 is
+    # ~10 sigma from uniform — deterministic given the fixed seed.
+    assert heavy >= 350, heavy
+    again = {r.doc_id for r in sampling.weighted_sample(
+        df.repartition(7), "w", "doc_id", k=500, seed="t").collect()}
+    assert again == ids                       # partitioning-invariant
+    other = {r.doc_id for r in sampling.weighted_sample(
+        df, "w", "doc_id", k=500, seed="u").collect()}
+    assert other != ids                       # seed actually steers
+
+
+def test_weighted_sample_topk_plan_and_validation(spark):
+    """Plan pin: orderBy(key).limit(k) must compile to
+    TakeOrderedAndProject (partition top-k heaps), NOT a global Sort —
+    the difference between O(k) driver merge and a full sort shuffle."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import sampling
+
+    seq = fixtures.sequences(spark, 1000)
+    out = sampling.weighted_sample(seq, "n_tok", "doc_id", k=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.weighted_sample(seq, "n_tok", "doc_id", k=0)
+
+
+def test_length_bucket_stats_hand_computed(spark):
+    """Buckets: 1,31,32 -> 32; 33,64 -> 64; 100 -> 128; 0/NULL excluded.
+    pad = n_seqs*bucket - sum_tok per bucket, exact integers."""
+    from ulp_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 31), ("c", 32), ("d", 33), ("e", 64),
+         ("f", 100), ("g", 0), ("h", None)],
+        "doc_id string, n_tok int")
+    got = {r.bucket: (r.n_seqs, r.sum_tok, r.pad_tok)
+           for r in packing.length_bucket_stats(df, "n_tok").collect()}
+    assert got == {32: (3, 64, 32), 64: (2, 97, 31), 128: (1, 100, 28)}
+
+
+def test_length_bucket_stats_power_of_two_edges_match_duckdb(spark):
+    """The float-log bucket construction is guarded at exact powers of
+    two; sweep every length 1..600 through BOTH engines and require
+    bitwise-equal bucket tables (the oracle-parity property, stressed at
+    the 2^k +/- 1 edges the sf fixture never hits)."""
+    import duckdb
+    from ulp_spark.operators import packing
+
+    rows = [(f"d{i:04d}", i) for i in range(1, 601)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = sorted(map(tuple, packing.length_bucket_stats(df, "n_tok")
+                     .collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"('d{i:04d}', {i})" for i in range(1, 601))
+                + ") v(doc_id, n_tok)")
+    exp = sorted(map(tuple, con.sql(
+        packing.length_bucket_stats_sql("t", "n_tok")).fetchall()))
+    assert got == exp
+    # and the buckets are the true integer-exact ceil-to-power-of-two:
+    import math
+    exp_buckets = {max(32, 1 << math.ceil(math.log2(i)))
+                   for i in range(1, 601)}
+    assert {b for b, *_ in got} == exp_buckets

@@ -320,3 +320,81 @@ def pack_sequences(
         F.size(arr).alias("n_docs"),
         F.size(toks).alias("n_tok"),
     )
+
+
+def length_bucket_stats(
+    df: DataFrame, len_col: str = "n_tok", min_bucket: int = 32,
+) -> DataFrame:
+    """Padding-waste accounting for LENGTH-BUCKETED batching — the cheap
+    alternative to pack_bins when documents must stay un-concatenated
+    (e.g. SFT rows).  Each sequence lands in the power-of-two bucket
+    ceil'd from its length (floored at ``min_bucket``); batching within a
+    bucket pads every row to the bucket width.  Output: one row per
+    bucket — (bucket, n_seqs, sum_tok, pad_tok, pad_frac) with pad_tok =
+    n_seqs*bucket - sum_tok — plus the padding a pad-to-global-max
+    batcher would spend is derivable as max(bucket)*total_seqs - total
+    tokens, so the report quantifies exactly what bucketing buys.
+
+    Scale shape: one map-side bucket expression + one groupBy(bucket) —
+    a dozen-row aggregate with map-side combine; no joins, no windows.
+    Rows with NULL or non-positive length are excluded by contract
+    (report them via profiling, don't fold them into padding math).
+    """
+    if min_bucket < 1:
+        raise ValueError("min_bucket must be >= 1")
+    n = F.col(len_col).cast("bigint")
+    # ceil to the next power of two via the double log2 would round badly
+    # near exact powers; integer-exact: smallest p2 >= n is
+    # 2^ceil(log2(n)) computed with bit length = floor(log2(n-1))+1.
+    exp = F.when(n <= min_bucket, F.lit(float(min_bucket))).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double")))))
+    bucket = exp.cast("bigint")
+    # guard the float-log edge: if pow/log2 rounding undershot (bucket<n)
+    # double it; if it overshot a full level (bucket >= 2n), halve it.
+    bucket = F.when(bucket < n, bucket * 2).otherwise(bucket)
+    bucket = F.when((bucket >= n * 2) & (bucket > min_bucket), bucket / 2)\
+        .otherwise(bucket).cast("bigint")
+    return (
+        df.filter(n.isNotNull() & (n > 0))
+        .select(bucket.alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__n").alias("sum_tok"),
+            (F.count(F.lit(1)) * F.first("bucket") - F.sum("__n"))
+            .alias("pad_tok"),
+        )
+        .select(
+            "bucket", "n_seqs", "sum_tok", "pad_tok",
+            F.round(F.col("pad_tok") / (F.col("pad_tok") + F.col("sum_tok")),
+                    6).alias("pad_frac"),
+        )
+    )
+
+
+def length_bucket_stats_sql(
+    table: str, len_col: str = "n_tok", min_bucket: int = 32,
+) -> str:
+    """DuckDB twin of length_bucket_stats (integer-exact bucket via the
+    same guarded float-log construction, so edge rows agree bitwise)."""
+    n = f"CAST({len_col} AS BIGINT)"
+    b0 = (f"CASE WHEN {n} <= {min_bucket} THEN {min_bucket}.0 "
+          f"ELSE pow(2.0, ceil(log2(CAST({n} AS DOUBLE)))) END")
+    b1 = f"CAST({b0} AS BIGINT)"
+    b2 = f"(CASE WHEN {b1} < {n} THEN {b1} * 2 ELSE {b1} END)"
+    b3 = (f"CAST(CASE WHEN {b2} >= {n} * 2 AND {b2} > {min_bucket} "
+          f"THEN {b2} / 2 ELSE {b2} END AS BIGINT)")
+    return f"""
+        SELECT bucket, n_seqs, sum_tok, pad_tok,
+               round(pad_tok / CAST(pad_tok + sum_tok AS DOUBLE), 6)
+                 AS pad_frac
+        FROM (
+          SELECT bucket,
+                 count(*) AS n_seqs,
+                 sum(n)::BIGINT AS sum_tok,
+                 (count(*) * any_value(bucket) - sum(n))::BIGINT AS pad_tok
+          FROM (SELECT {b3} AS bucket, {n} AS n FROM {table}
+                WHERE {len_col} IS NOT NULL AND {len_col} > 0)
+          GROUP BY bucket
+        )
+    """
