@@ -727,6 +727,17 @@ def _q_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.length_bucket_stats(seq, "n_tok", min_bucket=32)
 
 
+def _q_seq_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence unigram cross-entropy (the CCNet perplexity-filter
+    analog on token ids), self-scored against the corpus's own smoothed
+    unigram table.  Integer micro-nat sums keep the result exact in any
+    aggregation order; the vocab-scale probs side broadcast-joins."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.sequence_unigram_scores(seq, "tokens", "doc_id")
+
+
 def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE merge-rank APPLY (vs doc_tokenize's greedy inference):
     iterative lowest-rank merging via the same designed mapInPandas path;
@@ -986,6 +997,7 @@ _PYTEST_ONLY = frozenset({
     "seq_chunk_windows",
     "seq_weighted_sample",
     "seq_length_buckets",
+    "seq_unigram_scores",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1068,6 +1080,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokenize": _q_doc_bpe_tokenize,
         "seq_chunk_windows": _q_seq_chunk_windows,
         "seq_weighted_sample": _q_seq_weighted_sample,
+        "seq_unigram_scores": _q_seq_unigram_scores,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1252,6 +1265,13 @@ def _training_batches_sql() -> str:
     surv = (f"(SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok "
             f"FROM ({tok}) GROUP BY {fp})")
     return sharding.shard_manifest_sql(surv, shard_tokens=1 << 12)
+
+
+def _unigram_scores_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_unigram_scores_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id")
 
 
 def _weighted_sample_sql() -> str:
@@ -1644,6 +1664,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_bpe_tokenize": _bpe_tokenize_sql(),
         "seq_chunk_windows": _chunk_windows_sql(),
         "seq_weighted_sample": _weighted_sample_sql(),
+        "seq_unigram_scores": _unigram_scores_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

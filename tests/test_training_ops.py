@@ -1770,3 +1770,60 @@ def test_length_bucket_stats_power_of_two_edges_match_duckdb(spark):
     exp_buckets = {max(32, 1 << math.ceil(math.log2(i)))
                    for i in range(1, 601)}
     assert {b for b, *_ in got} == exp_buckets
+
+
+def test_unigram_scores_hand_computed_and_partition_invariant(spark):
+    """Two docs over a 3-token vocab: logp_micro and the exact bigint
+    sums are hand-derivable; repartitioning must not move a single
+    micro-nat (the integer-sum determinism contract)."""
+    import math
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", [0, 0, 1]), ("b", [1, 2])],
+        "doc_id string, tokens array<int>")
+    out = {r.doc_id: (r.n_tok, r.logp_micro_sum, r.ce_nats)
+           for r in tokens.sequence_unigram_scores(
+               df, vocab_size=3, alpha=0.5).collect()}
+    N, V, a = 5, 3, 0.5
+    lp = {t: round(math.log((c + a) / (N + a * V)) * 1e6)
+          for t, c in {0: 2, 1: 2, 2: 1}.items()}
+    exp_a = 2 * lp[0] + lp[1]
+    exp_b = lp[1] + lp[2]
+    assert out["a"] == (3, exp_a, round(-exp_a / 3e6, 6))
+    assert out["b"] == (2, exp_b, round(-exp_b / 2e6, 6))
+    again = {r.doc_id: r.logp_micro_sum
+             for r in tokens.sequence_unigram_scores(
+                 df.repartition(5), vocab_size=3, alpha=0.5).collect()}
+    assert again == {k: v[1] for k, v in out.items()}
+
+
+def test_unigram_scores_frozen_table_and_missing_token_raises(spark):
+    from ulp_spark.operators import tokens
+
+    train = spark.createDataFrame(
+        [("t", [0, 1, 1])], "doc_id string, tokens array<int>")
+    probs = tokens.unigram_logprob_table(train, vocab_size=4, alpha=0.5)
+    new = spark.createDataFrame(
+        [("n1", [0, 1])], "doc_id string, tokens array<int>")
+    scored = tokens.sequence_unigram_scores(new, probs=probs).collect()
+    assert len(scored) == 1 and scored[0].n_tok == 2
+    bad = spark.createDataFrame(
+        [("n2", [0, 3])], "doc_id string, tokens array<int>")  # 3 unseen
+    with pytest.raises(Exception, match="absent from probs"):
+        tokens.sequence_unigram_scores(bad, probs=probs).collect()
+    with pytest.raises(ValueError):
+        tokens.unigram_logprob_table(train, vocab_size=0)
+
+
+def test_unigram_scores_separates_repetitive_from_rare(spark):
+    """The quality-signal property: a stereotyped doc (all corpus-modal
+    tokens) must score LOWER ce than a doc of corpus-rare tokens."""
+    from ulp_spark.operators import tokens
+
+    rows = [(f"common{i}", [7] * 20) for i in range(50)] + \
+           [("rare0", list(range(100, 120)))]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r.doc_id: r.ce_nats
+           for r in tokens.sequence_unigram_scores(df).collect()}
+    assert out["common0"] < out["rare0"]

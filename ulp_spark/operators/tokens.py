@@ -697,3 +697,117 @@ def chunk_sequences_sql(
         )
         WHERE len(tokens) >= {min_tokens}
     """
+
+
+# --------------------------------------------------------------------------
+# Unigram LM scoring — the perplexity-filter analog on token ids
+# --------------------------------------------------------------------------
+
+def unigram_logprob_table(
+    df: DataFrame, tokens_col: str = "tokens",
+    vocab_size: int = 50257, alpha: float = 0.5,
+) -> DataFrame:
+    """Additively-smoothed corpus unigram log-probs: one row per observed
+    token id — (t, n_t, logp_micro) with logp_micro = round(ln((n_t +
+    alpha) / (N + alpha*V)) * 1e6) as BIGINT.  Micro-nat INTEGERS are the
+    cross-engine determinism move (classifier.py precedent): downstream
+    sums of bigints are exact in any aggregation order, where summing
+    raw doubles would drift by partition layout.
+
+    Scale shape: explode -> groupBy(t) with map-side combine collapses
+    the token explosion to <= |vocab| rows before the one shuffle; the
+    corpus total comes from a second aggregate OVER THOSE COUNTS (vocab
+    scale, never a rescan).
+    """
+    if vocab_size < 1 or alpha <= 0:
+        raise ValueError("vocab_size must be >= 1 and alpha > 0")
+    cnt = (
+        df.select(F.explode(F.col(tokens_col)).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    cnt = seam(cnt)  # feeds the total AND the logp projection
+    n_all = cnt.agg(F.sum("n_t")).collect()[0][0] or 0
+    denom = float(n_all) + alpha * vocab_size
+    return cnt.select(
+        "t", "n_t",
+        F.round(F.log((F.col("n_t") + F.lit(alpha)) / F.lit(denom)) * 1e6)
+        .cast("bigint").alias("logp_micro"),
+    )
+
+
+def sequence_unigram_scores(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    probs: DataFrame | None = None, vocab_size: int = 50257,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-sequence unigram cross-entropy — the CCNet-style perplexity
+    quality signal expressed on token ids: (id, n_tok, logp_micro_sum,
+    ce_nats) where ce_nats = -logp_micro_sum / (n_tok * 1e6).  Low ce =
+    stereotyped/repetitive token stream; high ce = rare-token soup —
+    both tails are what a perplexity band-pass filter drops.
+
+    ``probs`` defaults to the corpus's own unigram table (self-scoring,
+    every token observed by construction); pass a frozen
+    unigram_logprob_table from a reference corpus to score new batches
+    against it — such a table must cover every token the batch emits
+    (a silent zero-cost for unseen tokens would corrupt the ranking, so
+    missing tokens raise instead).
+
+    Scale shape: the explode keeps its partitioning; the vocab-scale
+    probs side broadcast-joins (AQE), and the groupBy(id) partial-
+    aggregates each document's tokens to ONE row map-side before the
+    only document-scale shuffle.  The bigint sum is the exact anchor;
+    the one double division per row is IEEE-identical in any engine.
+    """
+    p = probs if probs is not None else unigram_logprob_table(
+        df, tokens_col, vocab_size=vocab_size, alpha=alpha)
+    ex = df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("t"))
+    joined = ex.join(F.broadcast(p.select("t", "logp_micro")), "t", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("logp_micro").alias("logp_micro_sum"),
+        F.sum(F.col("logp_micro").isNull().cast("int")).alias("__miss"),
+    )
+    # a frozen probs table that misses tokens would silently zero their
+    # cost; fail loudly instead (self-scoring never trips this)
+    agg = agg.withColumn(
+        "logp_micro_sum",
+        F.when(F.col("__miss") > 0,
+               F.raise_error(F.lit("sequence_unigram_scores: token absent "
+                                   "from probs table")))
+        .otherwise(F.col("logp_micro_sum")).cast("bigint"))
+    return agg.select(
+        id_col,
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "logp_micro_sum",
+        F.round(-F.col("logp_micro_sum")
+                / (F.col("n_tok") * F.lit(1e6)), 6).alias("ce_nats"),
+    )
+
+
+def sequence_unigram_scores_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    vocab_size: int = 50257, alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of the SELF-SCORING form (probs derived from the same
+    table, same micro-nat quantization)."""
+    return f"""
+        WITH ex AS (
+          SELECT {id_col} AS id, unnest({tokens_col}) AS t FROM {table}
+        ),
+        cnt AS (SELECT t, count(*) AS n_t FROM ex GROUP BY t),
+        tot AS (SELECT sum(n_t)::DOUBLE AS n FROM cnt),
+        lp AS (
+          SELECT t, CAST(round(ln((n_t + {alpha}) /
+                                  (tot.n + {alpha} * {vocab_size})) * 1e6)
+                         AS BIGINT) AS logp_micro
+          FROM cnt CROSS JOIN tot
+        )
+        SELECT ex.id AS {id_col},
+               count(*)::INT AS n_tok,
+               sum(lp.logp_micro)::BIGINT AS logp_micro_sum,
+               round(-sum(lp.logp_micro)
+                     / (count(*) * 1e6), 6) AS ce_nats
+        FROM ex JOIN lp USING (t)
+        GROUP BY ex.id
+    """
