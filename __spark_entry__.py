@@ -188,6 +188,18 @@ def _q_doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates(d, "text", "doc_id")
 
 
+def _q_doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint candidates: deterministic-recall
+    near-dup pairs — any shared substring >= w+k-1 chars guarantees a
+    shared fingerprint (minhash recall is probabilistic).  Posting lists
+    capped before the pair join, same skew discipline as minhash.
+    Repartitioned: the sf tables are single parquet files, which would
+    serialize the O(n*w) fingerprint scan onto one core."""
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    return dedup.winnow_candidates(d, "text", "doc_id")
+
+
 def _q_doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the minhash candidate
     pairs; comp_id = canonical (min) doc_id per cluster. Spark side is
@@ -998,6 +1010,7 @@ _PYTEST_ONLY = frozenset({
     "seq_weighted_sample",
     "seq_length_buckets",
     "seq_unigram_scores",
+    "doc_winnow_candidates",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1040,6 +1053,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_doc_simhash,
         "doc_ngram_jaccard": _q_doc_ngram_jaccard,
         "doc_minhash_candidates": _q_doc_minhash_candidates,
+        "doc_winnow_candidates": _q_doc_winnow_candidates,
         "doc_simhash_candidates": _q_doc_simhash_candidates,
         "doc_dedup_groups": _q_doc_dedup_groups,
         "orders_shipping_priority": _q_orders_shipping_priority,
@@ -1489,6 +1503,8 @@ def _all_oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END, 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
+        "doc_winnow_candidates": dedup.winnow_candidates_sql(
+            "documents", "text", "doc_id"),
         "doc_minhash_candidates": dedup.minhash_candidates_sql(
             "documents", "text", "doc_id"),
         "doc_simhash_candidates": dedup.simhash_candidates_sql(

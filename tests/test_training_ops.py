@@ -1827,3 +1827,51 @@ def test_unigram_scores_separates_repetitive_from_rare(spark):
     out = {r.doc_id: r.ce_nats
            for r in tokens.sequence_unigram_scores(df).collect()}
     assert out["common0"] < out["rare0"]
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """The SIGMOD-2003 winnowing guarantee, pinned: two docs sharing a
+    substring of length >= w + k - 1 (= 12 at k=5, w=8) MUST share a
+    fingerprint, whatever surrounds it.  Edges: empty and sub-k texts
+    yield no fingerprints; a short-but-real text keeps its global min."""
+    from ulp_spark.operators import dedup
+
+    shared = "QUANTUMFLUX9"          # 12 chars = w + k - 1
+    df = spark.createDataFrame(
+        [(1, "aaaa prefix " + shared + " one tail"),
+         (2, "completely other start " + shared + "zz"),
+         (3, "no overlap with anyone here at all"),
+         (4, ""), (5, "abc"), (6, "abcdefg")],   # 6: 3 grams < w
+        "id long, text string")
+    fps = {r.id: set(r.f) for r in df.select(
+        "id", dedup.winnow_fingerprints(F.col("text")).alias("f")).collect()}
+    assert fps[1] & fps[2]            # the guarantee
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set() and fps[5] == set()
+    assert len(fps[6]) == 1           # global min for n < w
+    with pytest.raises(ValueError):
+        df.select(dedup.winnow_fingerprints(F.col("text"), w=0))
+
+
+def test_winnow_candidates_pairs_and_duckdb_twin(spark):
+    """Candidate pairs on a constructed corpus, Spark == DuckDB twin
+    bitwise; min_shared screens out single-fingerprint coincidences."""
+    import duckdb
+    from ulp_spark.operators import dedup
+
+    para = "the common boilerplate paragraph that repeats everywhere"
+    rows = [(1, para + " alpha variant"), (2, para + " beta variant"),
+            (3, "entirely unrelated document body text"),
+            (4, "another unrelated piece of writing")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(map(tuple, dedup.winnow_candidates(
+        df, "text", "id").collect()))
+    assert any(a == 1 and b == 2 for a, b, _ in got)
+    assert not any(3 in (a, b) or 4 in (a, b) for a, b, _ in got)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{x}')" for i, x in rows)
+                + ") v(id, text)")
+    exp = sorted(map(tuple, con.sql(
+        dedup.winnow_candidates_sql("t", "text", "id")).fetchall()))
+    assert got == exp

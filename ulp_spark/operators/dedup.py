@@ -480,3 +480,123 @@ def connected_components_sql(pairs_sql: str, id_alias: str = "id") -> str:
     )
     SELECT n AS {id_alias}, least(n, min(m)) AS comp_id FROM reach GROUP BY n
     """
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# --------------------------------------------------------------------------
+
+def _positional_hashes(text: Column, size: int = SHINGLE) -> Column:
+    """Per-POSITION k-gram hashes (no distinct — winnowing needs the
+    positional sequence, unlike the minhash shingle SET)."""
+    end = F.greatest(F.length(text) - (size - 1), F.lit(0))
+    return F.when(
+        end >= 1,
+        F.transform(F.sequence(F.lit(1), end),
+                    lambda i: _md5_bigint(F.substring(text, i, size))),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_fingerprints(
+    text: Column, k: int = SHINGLE, w: int = 8,
+) -> Column:
+    """The MOSS fingerprint set: min k-gram hash in every w-window of the
+    positional hash sequence, distinct + sorted.  The winnowing guarantee
+    (SIGMOD 2003, thm 2): two documents sharing any substring of length
+    >= w + k - 1 share at least one fingerprint — a DETERMINISTIC recall
+    floor, where minhash/simhash recall is probabilistic.  Density is
+    ~2/(w+1) of positions, so the posting table is ~an order smaller
+    than full k-gram indexing.
+
+    Texts with at least one gram but fewer than w of them keep their
+    global min (every non-trivial doc gets >= 1 fingerprint); empty and
+    sub-k texts yield an empty array.  All JVM expression work —
+    O(n*w) comparisons per doc inside one codegen stage, no shuffle.
+    """
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    h = _positional_hashes(text, k)
+    n = F.size(h)
+    wins = F.when(
+        n >= w,
+        F.transform(F.sequence(F.lit(0), n - w),
+                    lambda i: F.array_min(F.slice(h, i + 1, w))),
+    ).otherwise(
+        F.when(n > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_fingerprints_sql(text: str, k: int = SHINGLE, w: int = 8) -> str:
+    h = (f"[CAST(('0x' || substr(md5(substr({text}, i, {k})), 1, 8)) AS "
+         f"BIGINT) FOR i IN range(1, greatest(len({text}) - {k - 1}, 0) + 1)]")
+    return (
+        f"list_sort(list_distinct(CASE "
+        f"WHEN len({h}) >= {w} THEN "
+        f"[list_min(({h})[i + 1 : i + {w}]) "
+        f"FOR i IN range(0, len({h}) - {w} + 1)] "
+        f"WHEN len({h}) > 0 THEN [list_min({h})] "
+        f"ELSE [] END))"
+    )
+
+
+def winnow_candidates(
+    df: DataFrame, text_col: str, id_col: str, min_shared: int = 2,
+    max_posting: int = 1000, materialize: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b, n_shared fingerprints) from
+    the winnowing posting table — the deterministic-recall complement to
+    minhash_candidates (same skew discipline: posting lists for
+    boilerplate fingerprints are capped via a count aggregate + semi-join
+    BEFORE the pair join ever materializes a bucket).
+
+    Scale shape: explode to (fingerprint, id) — ~2/(w+1) x corpus grams —
+    one count aggregate with map-side combine, hot-fingerprint drop, then
+    an equi-self-join on the fingerprint and a pair-count aggregate;
+    every surviving posting contributes <= max_posting^2 rows and no
+    aggregation buffer holds a posting list.
+    """
+    post = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"))
+    if materialize:
+        # feeds the cap aggregate AND both join sides (the fan-out rule)
+        post = seam(post)
+    ok = (
+        post.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_posting))
+        .select("fp")
+    )
+    small = post.join(ok, "fp", "leftsemi")
+    a = small.select("fp", F.col("id").alias("id_a"))
+    b = small.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_candidates_sql(
+    table: str, text_col: str, id_col: str, min_shared: int = 2,
+    max_posting: int = 1000,
+) -> str:
+    fps = winnow_fingerprints_sql(text_col)
+    return f"""
+        WITH post AS (
+          SELECT {id_col} AS id, unnest({fps}) AS fp FROM {table}
+        ),
+        ok AS (
+          SELECT fp FROM post GROUP BY fp
+          HAVING count(*) > 1 AND count(*) <= {max_posting}
+        ),
+        small AS (SELECT * FROM post WHERE fp IN (SELECT fp FROM ok))
+        SELECT a.id AS id_a, b.id AS id_b,
+               count(*)::BIGINT AS n_shared
+        FROM small a JOIN small b USING (fp)
+        WHERE a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING count(*) >= {min_shared}
+    """
