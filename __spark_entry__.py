@@ -750,6 +750,26 @@ def _q_seq_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.sequence_unigram_scores(seq, "tokens", "doc_id")
 
 
+def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-repetition detector (degenerate-loop signal) over the
+    input_hint table, with the tail-repeat CONSTRUCTED in-query (the
+    fixture's arithmetic token stream has no natural period <= 8):
+    seq_no % 4 extra copies of the final 2-token block are appended in
+    both engines, so periods 0/1/2 and multi-copy tails all occur."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    aug = seq.select(
+        "doc_id",
+        F.concat(
+            F.col("tokens"),
+            F.flatten(F.array_repeat(
+                F.slice(F.col("tokens"),
+                        F.greatest(F.size("tokens") - 1, F.lit(1)), 2),
+                (F.col("seq_no") % 4).cast("int")))).alias("tokens"))
+    return tokens.repeated_suffix(aug, "tokens", "doc_id")
+
+
 def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE merge-rank APPLY (vs doc_tokenize's greedy inference):
     iterative lowest-rank merging via the same designed mapInPandas path;
@@ -1011,6 +1031,7 @@ _PYTEST_ONLY = frozenset({
     "seq_length_buckets",
     "seq_unigram_scores",
     "doc_winnow_candidates",
+    "seq_repeated_suffix",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1095,6 +1116,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_chunk_windows": _q_seq_chunk_windows,
         "seq_weighted_sample": _q_seq_weighted_sample,
         "seq_unigram_scores": _q_seq_unigram_scores,
+        "seq_repeated_suffix": _q_seq_repeated_suffix,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1279,6 +1301,19 @@ def _training_batches_sql() -> str:
     surv = (f"(SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok "
             f"FROM ({tok}) GROUP BY {fp})")
     return sharding.shard_manifest_sql(surv, shard_tokens=1 << 12)
+
+
+def _repeated_suffix_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    base = fixtures.sequences_sql(N_FIXTURE)
+    aug = f"""(
+        SELECT doc_id,
+               tokens || flatten([
+                 tokens[greatest(len(tokens) - 1, 1) : len(tokens)]
+                 FOR r IN range(CAST(seq_no % 4 AS BIGINT))]) AS tokens
+        FROM ({base}))"""
+    return tokens.repeated_suffix_sql(aug, "tokens", "doc_id")
 
 
 def _unigram_scores_sql() -> str:
@@ -1681,6 +1716,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_chunk_windows": _chunk_windows_sql(),
         "seq_weighted_sample": _weighted_sample_sql(),
         "seq_unigram_scores": _unigram_scores_sql(),
+        "seq_repeated_suffix": _repeated_suffix_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

@@ -1875,3 +1875,57 @@ def test_winnow_candidates_pairs_and_duckdb_twin(spark):
     exp = sorted(map(tuple, con.sql(
         dedup.winnow_candidates_sql("t", "text", "id")).fetchall()))
     assert got == exp
+
+
+def test_repeated_suffix_hand_computed(spark):
+    """[...1,2,1,2,1,2] -> period 2, 3 copies, trim 4; all-same -> the
+    FUNDAMENTAL period 1; no-repeat / single / empty -> (0, 1, 0)."""
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("loop", [5, 6, 1, 2, 1, 2, 1, 2]),
+         ("same", [7, 7, 7, 7]),
+         ("pair", [1, 2, 1, 2]),
+         ("two",  [3, 3]),
+         ("none", [1, 2, 3]),
+         ("one",  [9]),
+         ("empty", [])],
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: (r.n_tok, r.period, r.n_copies, r.trim_tokens)
+           for r in tokens.repeated_suffix(df).collect()}
+    assert got == {
+        "loop": (8, 2, 3, 4),
+        "same": (4, 1, 4, 3),
+        "pair": (4, 2, 2, 2),
+        "two":  (2, 1, 2, 1),
+        "none": (3, 0, 1, 0),
+        "one":  (1, 0, 1, 0),
+        "empty": (0, 0, 1, 0),
+    }
+    with pytest.raises(ValueError):
+        tokens.repeated_suffix(df, max_period=0)
+
+
+def test_repeated_suffix_matches_duckdb_on_random_arrays(spark):
+    """200 seeded-random short arrays over a tiny alphabet (so periodic
+    tails occur naturally) through BOTH engines — bitwise-equal rows,
+    including the period tie-breaks."""
+    import random
+
+    import duckdb
+    from ulp_spark.operators import tokens
+
+    rng = random.Random(45)
+    rows = [(f"r{i:03d}",
+             [rng.randrange(3) for _ in range(rng.randrange(0, 14))])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = sorted(map(tuple, tokens.repeated_suffix(df).collect()))
+    con = duckdb.connect()
+    vals = ",".join(
+        f"('{i}', [{','.join(map(str, t))}]::INT[])" for i, t in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "v(doc_id, tokens)")
+    exp = sorted(map(tuple, con.sql(
+        tokens.repeated_suffix_sql("t", "tokens", "doc_id")).fetchall()))
+    assert got == exp

@@ -811,3 +811,103 @@ def sequence_unigram_scores_sql(
         FROM ex JOIN lp USING (t)
         GROUP BY ex.id
     """
+
+
+def repeated_suffix(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    max_period: int = 8,
+) -> DataFrame:
+    """Trailing-repetition detector on token ids — the degenerate-loop
+    signal (model-generated or scraper-mangled text that ends in
+    `... A B A B A B`): for each period p <= max_period, measure the
+    longest suffix L(p) where tokens[i] == tokens[i-p], and report the
+    best period — (id, n_tok, period, n_copies, trim_tokens) with
+    n_copies = floor(L/p) + 1 complete copies of the final p-block and
+    trim_tokens = floor(L/p)*p redundant trailing tokens a cleaner would
+    drop.  Sequences with no trailing repeat report (0, 1, 0); ties on
+    trim_tokens resolve to the SMALLEST period (the fundamental one —
+    `A A A A` is period 1, not 2).
+
+    Scale shape: pure per-row JVM expression work — max_period
+    O(n)-scans inside one codegen stage (max_period is a small constant),
+    no shuffle, no UDF; output co-partitions with the input.
+    """
+    if max_period < 1:
+        raise ValueError("max_period must be >= 1")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+
+    def stats_for(p: int):
+        # cmp[i] = 1 iff the i-th token FROM THE END equals the one a
+        # period earlier; L = length of the leading all-1 run.
+        # sequence(1, 0) is DESCENDING in Spark (the recorded
+        # shingles regression), so gate the whole transform on n-p >= 1.
+        cmp = F.when(
+            n - p >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n - p),
+                lambda i: F.when(
+                    F.element_at(toks, n - i + 1)
+                    == F.element_at(toks, n - i + 1 - p), F.lit(1))
+                .otherwise(F.lit(0))),
+        ).otherwise(F.array().cast("array<int>"))
+        pos = F.array_position(cmp, 0)          # 0 when no mismatch
+        L = F.when(n - p <= 0, F.lit(0)) \
+            .when(pos == 0, n - p).otherwise(pos - 1)
+        trim = F.floor(L / p) * p
+        return F.struct(
+            trim.cast("int").alias("trim_tokens"),
+            F.lit(-p).alias("neg_p"),
+            F.lit(p).alias("period"),
+            (F.floor(L / p) + 1).cast("int").alias("n_copies"))
+
+    best = F.array_max(F.array(*[stats_for(p)
+                                 for p in range(1, max_period + 1)]))
+    none = F.struct(F.lit(0).cast("int").alias("trim_tokens"),
+                    F.lit(0).alias("neg_p"), F.lit(0).alias("period"),
+                    F.lit(1).cast("int").alias("n_copies"))
+    best = F.when(best["trim_tokens"] > 0, best).otherwise(none)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tok"),
+        best["period"].cast("int").alias("period"),
+        best["n_copies"].alias("n_copies"),
+        best["trim_tokens"].alias("trim_tokens"),
+    )
+
+
+def repeated_suffix_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    max_period: int = 8,
+) -> str:
+    """DuckDB twin: same L(p) run-length via list_position of the first
+    mismatch, same (trim desc, period asc) tie-break via a sorted struct
+    list (struct comparison is field-order lexicographic in both
+    engines)."""
+    n = f"len({tokens_col})"
+    cands = []
+    for p in range(1, max_period + 1):
+        cmp = (f"[CASE WHEN {tokens_col}[{n} - i + 1] = "
+               f"{tokens_col}[{n} - i + 1 - {p}] THEN 1 ELSE 0 END "
+               f"FOR i IN range(1, greatest({n} - {p}, 0) + 1)]")
+        # list_position returns 0/NULL (version-dependent) when absent
+        L = (f"(CASE WHEN {n} - {p} <= 0 THEN 0 "
+             f"WHEN coalesce(list_position({cmp}, 0), 0) = 0 "
+             f"THEN {n} - {p} "
+             f"ELSE list_position({cmp}, 0) - 1 END)")
+        cands.append(
+            f"{{'trim_tokens': CAST(({L} // {p}) * {p} AS INT), "
+            f"'neg_p': {-p}, 'period': {p}, "
+            f"'n_copies': CAST(({L} // {p}) + 1 AS INT)}}")
+    best = f"list_max([{', '.join(cands)}])"
+    return f"""
+        SELECT {id_col},
+               CAST(len({tokens_col}) AS INT) AS n_tok,
+               CAST(CASE WHEN b.trim_tokens > 0 THEN b.period
+                         ELSE 0 END AS INT) AS period,
+               CAST(CASE WHEN b.trim_tokens > 0 THEN b.n_copies
+                         ELSE 1 END AS INT) AS n_copies,
+               CAST(CASE WHEN b.trim_tokens > 0 THEN b.trim_tokens
+                         ELSE 0 END AS INT) AS trim_tokens
+        FROM (SELECT {id_col}, {tokens_col}, {best} AS b FROM {table})
+    """
