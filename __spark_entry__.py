@@ -770,6 +770,22 @@ def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.repeated_suffix(aug, "tokens", "doc_id")
 
 
+def _q_emb_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup groups: SRP-bucketed cosine near-dup pairs over the
+    clusterable T4 fixture (threshold 0.8 — within-cluster cosine ~0.85,
+    across ~0) -> connected components -> (vec_id, comp_id).  The
+    embedding-side composition twin of doc_dedup_groups; recall is
+    bounded by SRP bucketing by design (documented), and the oracle runs
+    the IDENTICAL pair generation so the gate pins the whole chain."""
+    from ulp_spark.operators import similarity as _sim
+
+    emb = fixtures.clustered_embeddings(spark, 400, dim=64, clusters=20)
+    pairs = _sim.embedding_near_dup(
+        emb, "embedding", "vec_id", dim=64, threshold=0.8)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(F.col("id").alias("vec_id"), "comp_id")
+
+
 def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE merge-rank APPLY (vs doc_tokenize's greedy inference):
     iterative lowest-rank merging via the same designed mapInPandas path;
@@ -1032,6 +1048,7 @@ _PYTEST_ONLY = frozenset({
     "seq_unigram_scores",
     "doc_winnow_candidates",
     "seq_repeated_suffix",
+    "emb_semantic_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1117,6 +1134,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_weighted_sample": _q_seq_weighted_sample,
         "seq_unigram_scores": _q_seq_unigram_scores,
         "seq_repeated_suffix": _q_seq_repeated_suffix,
+        "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1301,6 +1319,24 @@ def _training_batches_sql() -> str:
     surv = (f"(SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok "
             f"FROM ({tok}) GROUP BY {fp})")
     return sharding.shard_manifest_sql(surv, shard_tokens=1 << 12)
+
+
+def _semantic_dedup_sql() -> str:
+    from ulp_spark.operators import similarity as _sim
+
+    fix = fixtures.clustered_embeddings_sql(400, dim=64, clusters=20)
+    pairs = f"""
+        WITH sig AS (
+          SELECT vec_id,
+                 {_sim.srp_signature_sql('embedding::DOUBLE[]', 64)} AS bucket,
+                 embedding
+          FROM ({fix})
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.8"""
+    return dedup.connected_components_sql(pairs, id_alias="vec_id")
 
 
 def _repeated_suffix_sql() -> str:
@@ -1717,6 +1753,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_weighted_sample": _weighted_sample_sql(),
         "seq_unigram_scores": _unigram_scores_sql(),
         "seq_repeated_suffix": _repeated_suffix_sql(),
+        "emb_semantic_dedup_groups": _semantic_dedup_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

@@ -1929,3 +1929,40 @@ def test_repeated_suffix_matches_duckdb_on_random_arrays(spark):
     exp = sorted(map(tuple, con.sql(
         tokens.repeated_suffix_sql("t", "tokens", "doc_id")).fetchall()))
     assert got == exp
+
+
+def test_clustered_embeddings_sql_twin_bitwise(spark):
+    """The T4 fixture and its new DuckDB twin must agree BITWISE on the
+    float32 components (integer grid + one correctly-rounded double
+    division, cast to float in both engines) — the precondition for any
+    embedding-side oracle built on the fixture."""
+    import duckdb
+    from ulp_spark import fixtures
+
+    got = {r.vec_id: (list(r.embedding), r.label)
+           for r in fixtures.clustered_embeddings(spark, 50, dim=8).collect()}
+    con = duckdb.connect()
+    exp = {v: (list(e), l) for v, e, l in con.sql(
+        fixtures.clustered_embeddings_sql(50, dim=8)).fetchall()}
+    assert got == exp
+
+
+def test_semantic_dedup_groups_respect_cluster_labels(spark):
+    """Groups from SRP-bucketed cosine pairs at threshold 0.8 must never
+    MERGE two different ground-truth clusters (across-cluster cosine ~0
+    on the T4 fixture); under-merging is allowed by design (SRP recall
+    bound, documented in the query docstring)."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import dedup, similarity
+
+    emb = fixtures.clustered_embeddings(spark, 200, dim=64, clusters=10)
+    pairs = similarity.embedding_near_dup(
+        emb, "embedding", "vec_id", dim=64, threshold=0.8)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    rows = cc.collect()
+    assert rows                                     # non-trivial
+    label = {r.id: r.id % 10 for r in rows}
+    comp_label = {}
+    for r in rows:
+        comp_label.setdefault(r.comp_id, set()).add(label[r.id])
+    assert all(len(ls) == 1 for ls in comp_label.values())

@@ -207,6 +207,23 @@ def sequences_sql(n: int) -> str:
     """
 
 
+def clustered_embeddings_sql(
+    n: int, dim: int = 64, clusters: int = 20, noise_micro: int = 4800,
+) -> str:
+    """DuckDB SQL producing exactly `clustered_embeddings(spark, n, ...)`
+    (bitwise: integer grid + exact-integer noise scaled by one
+    correctly-rounded double division, cast to FLOAT in both engines)."""
+    return f"""
+    SELECT i AS vec_id,
+           [CAST(((i % {clusters})*41 + j*17) % 23 - 11
+                 + (((i*96557 + j*40503) % 2000) - 1000)
+                   * {noise_micro}/1000000.0 AS FLOAT)
+            FOR j IN range(0, {dim})] AS embedding,
+           CAST(i % {clusters} AS INT) AS label
+    FROM range(0, {n}) t(i)
+    """
+
+
 def _dq(s: str) -> str:
     return s.replace("'", "''")
 
