@@ -1966,3 +1966,84 @@ def test_semantic_dedup_groups_respect_cluster_labels(spark):
     for r in rows:
         comp_label.setdefault(r.comp_id, set()).add(label[r.id])
     assert all(len(ls) == 1 for ls in comp_label.values())
+
+
+# ---------------------------------------------------------------------------
+# property-based cross-checks (hypothesis): one Spark job per example,
+# a pure-Python reference per row — shrinking finds minimal counterexamples
+# ---------------------------------------------------------------------------
+
+def _chunk_ref(toks, cap, step, min_tok):
+    out = []
+    for ci, s in enumerate(range(0, len(toks), step)):
+        c = toks[s:s + cap]
+        if len(c) >= min_tok:
+            out.append((ci, tuple(c), len(c)))
+    return out
+
+
+def _suffix_ref(toks, max_period=8):
+    n = len(toks)
+    best = (0, 0, 0, 1)  # (trim, -p, period, copies)
+    for p in range(1, max_period + 1):
+        L = 0
+        while L < n - p and toks[n - 1 - L] == toks[n - 1 - L - p]:
+            L += 1
+        cand = ((L // p) * p, -p, p, L // p + 1)
+        if cand[:2] > best[:2]:
+            best = cand
+    if best[0] == 0:
+        return (0, 1, 0)
+    return (best[2], best[3], best[0])
+
+
+def test_chunk_sequences_hypothesis_vs_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ulp_spark.operators import tokens
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        arrays=st.lists(st.lists(st.integers(0, 9), max_size=40),
+                        min_size=1, max_size=25),
+        cap=st.integers(1, 12),
+        stride_frac=st.integers(1, 12),
+        min_tok=st.integers(1, 12),
+    )
+    def check(arrays, cap, stride_frac, min_tok):
+        step = min(stride_frac, cap)
+        rows = [(f"d{i}", a) for i, a in enumerate(arrays)]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+        got = {}
+        for r in tokens.chunk_sequences(
+                df, "tokens", "doc_id", capacity=cap, stride=step,
+                min_tokens=min_tok).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, tuple(r.tokens), r.n_tok))
+        for i, a in enumerate(rows):
+            exp = _chunk_ref(a[1], cap, step, min_tok)
+            assert sorted(got.get(a[0], [])) == sorted(exp), (a, cap, step,
+                                                              min_tok)
+
+    check()
+
+
+def test_repeated_suffix_hypothesis_vs_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ulp_spark.operators import tokens
+
+    @settings(max_examples=5, deadline=None)
+    @given(arrays=st.lists(st.lists(st.integers(0, 2), max_size=30),
+                           min_size=1, max_size=30))
+    def check(arrays):
+        rows = [(f"d{i}", a) for i, a in enumerate(arrays)]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+        got = {r.doc_id: (r.period, r.n_copies, r.trim_tokens)
+               for r in tokens.repeated_suffix(df).collect()}
+        for did, a in rows:
+            assert got[did] == _suffix_ref(a), (did, a, got[did])
+
+    check()
