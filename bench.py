@@ -254,6 +254,15 @@ def main() -> None:
     n_pairs = dedup.minhash_candidates(lsh_docs, "text", "doc_id").count()
     lsh_sec = round(time.perf_counter() - t0l, 3)
 
+    # winnowing candidates over the same corpus: the deterministic-recall
+    # complement to minhash (r5); measured so the O(n*w) fingerprint scan
+    # + capped posting join costs stay visible next to LSH.  The sf
+    # documents table is boilerplate-dense by design, so the pair count
+    # is large — the cost driver is the capped self-join, not the scan.
+    t0w = time.perf_counter()
+    n_wpairs = dedup.winnow_candidates(lsh_docs, "text", "doc_id").count()
+    winnow_sec = round(time.perf_counter() - t0w, 3)
+
     # 10x data anchor: the same full DAG at 10x the sequence count, same
     # cores — evidence that throughput holds as data scales (the second
     # axis next to the core-scaling pair in BENCH.md).
@@ -325,6 +334,9 @@ def main() -> None:
                           **tuned}},
         "lsh": {"docs": lsh_docs.count(), "candidate_pairs": int(n_pairs),
                 "minhash_candidates_sec": lsh_sec},
+        "winnow": {"docs": lsh_docs.count(),
+                   "candidate_pairs": int(n_wpairs),
+                   "winnow_candidates_sec": winnow_sec},
         "scale10x": {
             "seqs": n_seqs * 10,
             "sec": round(scale10_sec, 3),
