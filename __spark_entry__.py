@@ -786,6 +786,17 @@ def _q_emb_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("vec_id"), "comp_id")
 
 
+def _q_seq_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) cross-entropy per sequence — token ORDER
+    quality, where the unigram score is order-blind.  The bigram dim is
+    corpus-bounded (KenLM-shaped cost): AQE broadcasts it while it fits,
+    honest shuffle join beyond."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.sequence_bigram_scores(seq, "tokens", "doc_id")
+
+
 def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True BPE merge-rank APPLY (vs doc_tokenize's greedy inference):
     iterative lowest-rank merging via the same designed mapInPandas path;
@@ -1046,6 +1057,7 @@ _PYTEST_ONLY = frozenset({
     "seq_weighted_sample",
     "seq_length_buckets",
     "seq_unigram_scores",
+    "seq_bigram_scores",
     "doc_winnow_candidates",
     "seq_repeated_suffix",
     "emb_semantic_dedup_groups",
@@ -1133,6 +1145,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_chunk_windows": _q_seq_chunk_windows,
         "seq_weighted_sample": _q_seq_weighted_sample,
         "seq_unigram_scores": _q_seq_unigram_scores,
+        "seq_bigram_scores": _q_seq_bigram_scores,
         "seq_repeated_suffix": _q_seq_repeated_suffix,
         "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
@@ -1350,6 +1363,13 @@ def _repeated_suffix_sql() -> str:
                  FOR r IN range(CAST(seq_no % 4 AS BIGINT))]) AS tokens
         FROM ({base}))"""
     return tokens.repeated_suffix_sql(aug, "tokens", "doc_id")
+
+
+def _bigram_scores_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_bigram_scores_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id")
 
 
 def _unigram_scores_sql() -> str:
@@ -1752,6 +1772,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_chunk_windows": _chunk_windows_sql(),
         "seq_weighted_sample": _weighted_sample_sql(),
         "seq_unigram_scores": _unigram_scores_sql(),
+        "seq_bigram_scores": _bigram_scores_sql(),
         "seq_repeated_suffix": _repeated_suffix_sql(),
         "emb_semantic_dedup_groups": _semantic_dedup_sql(),
         "seq_length_buckets": _length_buckets_sql(),

@@ -2047,3 +2047,54 @@ def test_repeated_suffix_hypothesis_vs_reference(spark):
             assert got[did] == _suffix_ref(a), (did, a, got[did])
 
     check()
+
+
+def test_bigram_scores_hand_computed_and_order_sensitivity(spark):
+    """Tiny corpus where the bigram table is hand-derivable; the
+    order-sensitivity property: a doc whose TOKENS are corpus-common but
+    whose TRANSITIONS are unique must out-ce the common docs (the
+    unigram score cannot make that separation)."""
+    import math
+    from ulp_spark.operators import tokens
+
+    rows = [(f"c{i}", [1, 2, 3]) for i in range(10)] + [("rev", [3, 2, 1])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r.doc_id: (r.n_bigrams, r.logp_micro_sum, r.ce_nats)
+           for r in tokens.sequence_bigram_scores(
+               df, vocab_size=4, alpha=0.5).collect()}
+    a, V = 0.5, 4
+    # pair counts: (1,2)x10 (2,3)x10 (3,2)x1 (2,1)x1; prev totals:
+    # n_1(1)=10, n_1(2)=11 (ten (2,3) + one (2,1)), n_1(3)=1
+    lp = {(1, 2): (10, 10), (2, 3): (10, 11), (3, 2): (1, 1),
+          (2, 1): (1, 11)}
+    mic = {k: round(math.log((n2 + a) / (n1 + a * V)) * 1e6)
+           for k, (n2, n1) in lp.items()}
+    exp_c = mic[(1, 2)] + mic[(2, 3)]
+    exp_rev = mic[(3, 2)] + mic[(2, 1)]
+
+    def r6(x):  # Spark/DuckDB round = HALF_UP for positives, NOT banker's
+        from decimal import ROUND_HALF_UP, Decimal
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                                rounding=ROUND_HALF_UP))
+    assert out["c0"] == (2, exp_c, r6(-exp_c / 2e6))
+    assert out["rev"] == (2, exp_rev, r6(-exp_rev / 2e6))
+    assert out["rev"][2] > out["c0"][2]        # order sensitivity
+    # unigram CANNOT separate them: same token multiset
+    uni = {r.doc_id: r.ce_nats for r in tokens.sequence_unigram_scores(
+        df, vocab_size=4, alpha=0.5).collect()}
+    assert uni["rev"] == uni["c0"]
+    # short rows have no transitions and are omitted
+    short = spark.createDataFrame(
+        [("s", [5]), ("e", [])], "doc_id string, tokens array<int>")
+    assert tokens.sequence_bigram_scores(short).count() == 0
+
+
+def test_bigram_scores_partition_invariant(spark):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    a = {r.doc_id: r.logp_micro_sum for r in tokens.sequence_bigram_scores(
+        fixtures.sequences(spark, 300, partitions=1)).collect()}
+    b = {r.doc_id: r.logp_micro_sum for r in tokens.sequence_bigram_scores(
+        fixtures.sequences(spark, 300, partitions=13)).collect()}
+    assert a == b and len(a) > 0

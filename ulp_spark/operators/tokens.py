@@ -911,3 +911,119 @@ def repeated_suffix_sql(
                          ELSE 0 END AS INT) AS trim_tokens
         FROM (SELECT {id_col}, {tokens_col}, {best} AS b FROM {table})
     """
+
+
+def bigram_logprob_table(
+    df: DataFrame, tokens_col: str = "tokens",
+    vocab_size: int = 50257, alpha: float = 0.5,
+) -> DataFrame:
+    """Smoothed conditional bigram log-probs: (t_prev, t, n_2, logp_micro)
+    with logp_micro = round(ln((n_2 + alpha) / (n_1 + alpha*V)) * 1e6) —
+    the same integer micro-nat quantization as the unigram table so every
+    downstream sum is exact in any aggregation order.
+
+    Scale shape: one bigram explode -> groupBy(prev, t) with map-side
+    combine; the per-prev totals n_1 are RE-AGGREGATED from those pair
+    counts (bigram-table scale, never a second corpus scan) and joined
+    back at pair-key scale.  Unlike the unigram table this dim is
+    corpus-bounded (distinct bigrams), not vocab-bounded — the honest
+    KenLM-shaped cost a conditional LM carries.
+    """
+    if vocab_size < 1 or alpha <= 0:
+        raise ValueError("vocab_size must be >= 1 and alpha > 0")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    pairs = df.select(F.explode(F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(2), n),
+                    lambda i: F.struct(
+                        F.element_at(toks, i - 1).alias("t_prev"),
+                        F.element_at(toks, i).alias("t"))))
+        .otherwise(F.array().cast("array<struct<t_prev:int,t:int>>")))
+        .alias("bg")).select("bg.t_prev", "bg.t")
+    cnt2 = pairs.groupBy("t_prev", "t").agg(F.count(F.lit(1)).alias("n_2"))
+    cnt2 = seam(cnt2)  # feeds the per-prev rollup AND the final projection
+    cnt1 = cnt2.groupBy("t_prev").agg(F.sum("n_2").alias("n_1"))
+    return (
+        cnt2.join(cnt1, "t_prev")
+        .select(
+            "t_prev", "t", "n_2",
+            F.round(F.log((F.col("n_2") + F.lit(alpha))
+                          / (F.col("n_1") + F.lit(alpha * vocab_size)))
+                    * 1e6).cast("bigint").alias("logp_micro"))
+    )
+
+
+def sequence_bigram_scores(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    vocab_size: int = 50257, alpha: float = 0.5,
+) -> DataFrame:
+    """Per-sequence CONDITIONAL cross-entropy under the corpus's own
+    smoothed bigram LM — the next step up from sequence_unigram_scores
+    (a unigram LM cannot see token ORDER; this one scores transitions,
+    so a doc of corpus-common tokens in a corpus-unseen order ranks
+    high-ce).  Returns (id, n_bigrams, logp_micro_sum, ce_nats); rows
+    with fewer than 2 tokens have no transitions and are omitted (same
+    rule in the twin).
+
+    Scale shape: the bigram dim is corpus-bounded, so the score join is
+    a real (prev, t)-key shuffle join when it outgrows broadcast — AQE
+    broadcasts it while it fits, and the groupBy(id) behind it partial-
+    aggregates map-side.  Self-scoring means every probe bigram exists
+    in the dim; the inner join is therefore lossless by construction.
+    """
+    probs = bigram_logprob_table(df, tokens_col, vocab_size=vocab_size,
+                                 alpha=alpha)
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.when(
+            n >= 2,
+            F.transform(F.sequence(F.lit(2), n),
+                        lambda i: F.struct(
+                            F.element_at(toks, i - 1).alias("t_prev"),
+                            F.element_at(toks, i).alias("t"))))
+            .otherwise(F.array().cast("array<struct<t_prev:int,t:int>>")))
+        .alias("bg")).select(id_col, "bg.t_prev", "bg.t")
+    return (
+        ex.join(probs.select("t_prev", "t", "logp_micro"), ["t_prev", "t"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+             F.sum("logp_micro").alias("logp_micro_sum"))
+        .select(
+            id_col, "n_bigrams", "logp_micro_sum",
+            F.round(-F.col("logp_micro_sum")
+                    / (F.col("n_bigrams") * F.lit(1e6)), 6).alias("ce_nats"))
+    )
+
+
+def sequence_bigram_scores_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    vocab_size: int = 50257, alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of the self-scoring form (same micro-nat quantization,
+    same n>=2 omission rule)."""
+    return f"""
+        WITH ex AS (
+          SELECT {id_col} AS id,
+                 {tokens_col}[i - 1] AS t_prev, {tokens_col}[i] AS t
+          FROM {table},
+               LATERAL (SELECT unnest(range(2, len({tokens_col}) + 1)) AS i)
+        ),
+        cnt2 AS (SELECT t_prev, t, count(*) AS n_2 FROM ex GROUP BY 1, 2),
+        cnt1 AS (SELECT t_prev, sum(n_2) AS n_1 FROM cnt2 GROUP BY t_prev),
+        lp AS (
+          SELECT cnt2.t_prev, cnt2.t,
+                 CAST(round(ln((cnt2.n_2 + {alpha})
+                               / (cnt1.n_1 + {alpha * vocab_size})) * 1e6)
+                      AS BIGINT) AS logp_micro
+          FROM cnt2 JOIN cnt1 USING (t_prev)
+        )
+        SELECT ex.id AS {id_col},
+               count(*)::INT AS n_bigrams,
+               sum(lp.logp_micro)::BIGINT AS logp_micro_sum,
+               round(-sum(lp.logp_micro) / (count(*) * 1e6), 6) AS ce_nats
+        FROM ex JOIN lp USING (t_prev, t)
+        GROUP BY ex.id
+    """
