@@ -2098,3 +2098,28 @@ def test_bigram_scores_partition_invariant(spark):
     b = {r.doc_id: r.logp_micro_sum for r in tokens.sequence_bigram_scores(
         fixtures.sequences(spark, 300, partitions=13)).collect()}
     assert a == b and len(a) > 0
+
+
+def test_pack_sequences_sep_token_boundaries(spark):
+    """sep_token appends EOS after EVERY document: total tokens = sum
+    n_tok + n_docs, each doc_start points at its document's first token,
+    and the token right before every non-first start IS the separator."""
+    from ulp_spark.operators import packing
+
+    seq = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3]), ("c", [4, 5, 6])],
+        "doc_id string, tokens array<int>")
+    packed = spark.createDataFrame(
+        [("a", 0, False), ("b", 0, False), ("c", 1, False)],
+        "doc_id string, bin_id long, oversize boolean")
+    rows = {r.bin_id: r for r in packing.pack_sequences(
+        seq, packed, sep_token=99).collect()}
+    assert list(rows[0].tokens) == [1, 2, 99, 3, 99]   # ascending id order
+    assert list(rows[0].doc_starts) == [0, 3]
+    assert rows[0].n_docs == 2 and rows[0].n_tok == 5
+    assert list(rows[1].tokens) == [4, 5, 6, 99]
+    assert list(rows[1].doc_starts) == [0]
+    # default path unchanged: no separators
+    plain = {r.bin_id: list(r.tokens) for r in packing.pack_sequences(
+        seq, packed).collect()}
+    assert plain[0] == [1, 2, 3] and plain[1] == [4, 5, 6]

@@ -278,6 +278,7 @@ def bin_stats(packed: DataFrame, len_col: str = "n_tok",
 def pack_sequences(
     seq: DataFrame, packed: DataFrame,
     id_col: str = "doc_id", tokens_col: str = "tokens",
+    sep_token: int | None = None,
 ) -> DataFrame:
     """Materialize the training rows for a pack_bins assignment: one row
     per bin — (bin_id, tokens, doc_starts, n_docs, n_tok) where tokens is
@@ -296,6 +297,14 @@ def pack_sequences(
     No SQL twin: the upstream FFD assignment is itself non-relational;
     invariants (flatten length == sum n_tok, starts == exclusive prefix
     sums, every doc exactly once) are pinned in pytest instead.
+
+    ``sep_token`` (e.g. the EOS id) is appended AFTER EACH document —
+    the GPT-style packing convention, so a model never sees two docs
+    fused without a boundary token even if the attention mask is lost
+    downstream.  doc_starts then point at each document's first token
+    (separators included in the offset math), and n_tok counts the
+    separators; a caller packing with separators should budget
+    pack_bins with n_tok + 1 upstream.
     """
     j = seq.select(id_col, tokens_col).join(
         packed.select(id_col, "bin_id"), id_col)
@@ -303,14 +312,22 @@ def pack_sequences(
         F.array_sort(F.collect_list(F.struct(id_col, tokens_col)))
         .alias("__arr"))
     arr = F.col("__arr")
-    toks = F.flatten(F.transform(arr, lambda s: s[tokens_col]))
+    if sep_token is None:
+        def doc_toks(s):
+            return s[tokens_col]
+    else:
+        sep = F.array(F.lit(int(sep_token)).cast("int"))
+
+        def doc_toks(s):
+            return F.concat(s[tokens_col].cast("array<int>"), sep)
+    toks = F.flatten(F.transform(arr, doc_toks))
     starts = F.aggregate(
         arr,
         F.struct(F.array().cast("array<int>").alias("st"),
                  F.lit(0).alias("off")),
         lambda acc, s: F.struct(
             F.concat(acc["st"], F.array(acc["off"])).alias("st"),
-            (acc["off"] + F.size(s[tokens_col])).alias("off")),
+            (acc["off"] + F.size(doc_toks(s))).alias("off")),
         lambda acc: acc["st"],
     )
     return grouped.select(
