@@ -189,10 +189,12 @@ def _q_doc_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) fingerprint candidates: deterministic-recall
-    near-dup pairs — any shared substring >= w+k-1 chars guarantees a
-    shared fingerprint (minhash recall is probabilistic).  Posting lists
-    capped before the pair join, same skew discipline as minhash.
+    """Winnowing (MOSS) fingerprint candidates: any shared substring >=
+    w+k-1 chars guarantees a shared FINGERPRINT (minhash recall is
+    probabilistic); the pair floor holds at min_shared=1, and the
+    default min_shared=2 used here trades it for precision (operator
+    docstring).  Posting lists capped before the pair join, same skew
+    discipline as minhash.
     Repartitioned: the sf tables are single parquet files, which would
     serialize the O(n*w) fingerprint scan onto one core."""
     d = _docs(spark, sf_dir).repartition(
@@ -1344,9 +1346,15 @@ def _semantic_dedup_sql() -> str:
                  {_sim.srp_signature_sql('embedding::DOUBLE[]', 64)} AS bucket,
                  embedding
           FROM ({fix})
-        )
+        ),
+        ok AS (  -- the Spark side's hot-bucket cap, mirrored exactly
+          SELECT bucket FROM sig GROUP BY bucket
+          HAVING count(*) > 1 AND count(*) <= 1000
+        ),
+        small AS (SELECT * FROM sig WHERE bucket IN (SELECT bucket FROM ok))
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        FROM small a JOIN small b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.8"""
     return dedup.connected_components_sql(pairs, id_alias="vec_id")

@@ -250,6 +250,7 @@ def main() -> None:
     from ulp_spark.operators import dedup  # noqa: E402
     lsh_docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .repartition(int(cpus) * 2)
+    n_lsh_docs = lsh_docs.count()
     t0l = time.perf_counter()
     n_pairs = dedup.minhash_candidates(lsh_docs, "text", "doc_id").count()
     lsh_sec = round(time.perf_counter() - t0l, 3)
@@ -332,9 +333,9 @@ def main() -> None:
                                     f"({100 * clu_sample // n_clu}% of data)"),
                           "train_sec": train_sec,
                           **tuned}},
-        "lsh": {"docs": lsh_docs.count(), "candidate_pairs": int(n_pairs),
+        "lsh": {"docs": n_lsh_docs, "candidate_pairs": int(n_pairs),
                 "minhash_candidates_sec": lsh_sec},
-        "winnow": {"docs": lsh_docs.count(),
+        "winnow": {"docs": n_lsh_docs,
                    "candidate_pairs": int(n_wpairs),
                    "winnow_candidates_sec": winnow_sec},
         "scale10x": {

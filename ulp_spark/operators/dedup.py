@@ -529,15 +529,19 @@ def winnow_fingerprints(
 
 
 def winnow_fingerprints_sql(text: str, k: int = SHINGLE, w: int = 8) -> str:
-    h = (f"[CAST(('0x' || substr(md5(substr({text}, i, {k})), 1, 8)) AS "
-         f"BIGINT) FOR i IN range(1, greatest(len({text}) - {k - 1}, 0) + 1)]")
+    # compute the O(n) positional hash list ONCE via a scalar subquery
+    # (five verbatim interpolations would lean on DuckDB CSE to avoid a
+    # 5x md5 scan per row)
+    h = (f"(SELECT [CAST(('0x' || substr(md5(substr({text}, i, {k})), 1, 8))"
+         f" AS BIGINT) FOR i IN"
+         f" range(1, greatest(len({text}) - {k - 1}, 0) + 1)])")
     return (
-        f"list_sort(list_distinct(CASE "
-        f"WHEN len({h}) >= {w} THEN "
-        f"[list_min(({h})[i + 1 : i + {w}]) "
-        f"FOR i IN range(0, len({h}) - {w} + 1)] "
-        f"WHEN len({h}) > 0 THEN [list_min({h})] "
-        f"ELSE [] END))"
+        f"(SELECT list_sort(list_distinct(CASE "
+        f"WHEN len(h) >= {w} THEN "
+        f"[list_min(h[i + 1 : i + {w}]) "
+        f"FOR i IN range(0, len(h) - {w} + 1)] "
+        f"WHEN len(h) > 0 THEN [list_min(h)] "
+        f"ELSE [] END)) FROM (SELECT {h} AS h))"
     )
 
 
@@ -550,6 +554,14 @@ def winnow_candidates(
     minhash_candidates (same skew discipline: posting lists for
     boilerplate fingerprints are capped via a count aggregate + semi-join
     BEFORE the pair join ever materializes a bucket).
+
+    The SIGMOD-2003 guarantee lives at the FINGERPRINT level: it holds
+    for the candidate set only at min_shared=1 (a single shared >=
+    w+k-1-char substring yields exactly one shared fingerprint).  The
+    default min_shared=2 deliberately trades that floor for precision on
+    boilerplate-dense corpora; max_posting likewise drops guaranteed
+    pairs inside capped postings.  Set min_shared=1 and raise
+    max_posting to recover the full deterministic floor.
 
     Scale shape: explode to (fingerprint, id) — ~2/(w+1) x corpus grams —
     one count aggregate with map-side combine, hot-fingerprint drop, then

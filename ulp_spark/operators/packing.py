@@ -327,7 +327,8 @@ def pack_sequences(
                  F.lit(0).alias("off")),
         lambda acc, s: F.struct(
             F.concat(acc["st"], F.array(acc["off"])).alias("st"),
-            (acc["off"] + F.size(doc_toks(s))).alias("off")),
+            (acc["off"] + F.size(s[tokens_col])
+             + F.lit(0 if sep_token is None else 1)).alias("off")),
         lambda acc: acc["st"],
     )
     return grouped.select(
@@ -360,9 +361,9 @@ def length_bucket_stats(
     if min_bucket < 1:
         raise ValueError("min_bucket must be >= 1")
     n = F.col(len_col).cast("bigint")
-    # ceil to the next power of two via the double log2 would round badly
-    # near exact powers; integer-exact: smallest p2 >= n is
-    # 2^ceil(log2(n)) computed with bit length = floor(log2(n-1))+1.
+    # double log2/pow CAN misround near exact powers of two; the two
+    # guards below self-correct both directions, making the bucket
+    # integer-exact at every 2^k edge (pinned by the 1..600 sweep test).
     exp = F.when(n <= min_bucket, F.lit(float(min_bucket))).otherwise(
         F.pow(F.lit(2.0), F.ceil(F.log2(n.cast("double")))))
     bucket = exp.cast("bigint")

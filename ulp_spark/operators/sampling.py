@@ -142,7 +142,9 @@ def weighted_sample(
     return (
         df.filter(w.isNotNull() & (w > 0))
         .withColumn("__es_key", key)
-        .orderBy(F.col("__es_key").desc())
+        # id tie-break matches the SQL twin: with duplicate ids (equal
+        # key AND equal weight) membership stays partition-independent
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
         .limit(k)
         .drop("__es_key")
     )

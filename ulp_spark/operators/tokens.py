@@ -726,12 +726,20 @@ def unigram_logprob_table(
         .groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
     )
     cnt = seam(cnt)  # feeds the total AND the logp projection
-    n_all = cnt.agg(F.sum("n_t")).collect()[0][0] or 0
-    denom = float(n_all) + alpha * vocab_size
-    return cnt.select(
-        "t", "n_t",
-        F.round(F.log((F.col("n_t") + F.lit(alpha)) / F.lit(denom)) * 1e6)
-        .cast("bigint").alias("logp_micro"),
+    # the corpus total rides a broadcast 1-row crossJoin (the twin's tot
+    # CTE): no separate collect job, and the total stays inside the plan
+    # (the seam itself still materializes its upstream shuffle stages at
+    # build — an AQE localCheckpoint property shared by every seam here)
+    tot = cnt.agg(F.coalesce(F.sum("n_t"), F.lit(0)).cast("double")
+                  .alias("__n_all"))
+    denom = F.col("__n_all") + F.lit(alpha * vocab_size)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "t", "n_t",
+            F.round(F.log((F.col("n_t") + F.lit(alpha)) / denom) * 1e6)
+            .cast("bigint").alias("logp_micro"),
+        )
     )
 
 
