@@ -772,6 +772,19 @@ def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.repeated_suffix(aug, "tokens", "doc_id")
 
 
+def _q_seq_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span REMOVAL (Lee et al. 2021) over the
+    input_hint table: every token covered by a non-keeper occurrence of a
+    duplicated 8-token window is cut and the arrays rebuilt.  The fixture
+    stream is arithmetic mod the vocab, so distinct docs genuinely share
+    long runs — the heavy-dup regime the op exists for.  A smaller slice
+    (1,500 seqs) keeps the quadratic-free census cheap in the gate."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, 1_500)
+    return tokens.remove_duplicate_spans(seq, "tokens", "doc_id")
+
+
 def _q_emb_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup groups: SRP-bucketed cosine near-dup pairs over the
     clusterable T4 fixture (threshold 0.8 — within-cluster cosine ~0.85,
@@ -1062,6 +1075,7 @@ _PYTEST_ONLY = frozenset({
     "seq_bigram_scores",
     "doc_winnow_candidates",
     "seq_repeated_suffix",
+    "seq_remove_dup_spans",
     "emb_semantic_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
@@ -1149,6 +1163,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_unigram_scores": _q_seq_unigram_scores,
         "seq_bigram_scores": _q_seq_bigram_scores,
         "seq_repeated_suffix": _q_seq_repeated_suffix,
+        "seq_remove_dup_spans": _q_seq_remove_dup_spans,
         "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
@@ -1358,6 +1373,13 @@ def _semantic_dedup_sql() -> str:
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.8"""
     return dedup.connected_components_sql(pairs, id_alias="vec_id")
+
+
+def _remove_dup_spans_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.remove_duplicate_spans_sql(
+        f"({fixtures.sequences_sql(1_500)})", "tokens", "doc_id")
 
 
 def _repeated_suffix_sql() -> str:
@@ -1782,6 +1804,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_unigram_scores": _unigram_scores_sql(),
         "seq_bigram_scores": _bigram_scores_sql(),
         "seq_repeated_suffix": _repeated_suffix_sql(),
+        "seq_remove_dup_spans": _remove_dup_spans_sql(),
         "emb_semantic_dedup_groups": _semantic_dedup_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),

@@ -2123,3 +2123,47 @@ def test_pack_sequences_sep_token_boundaries(spark):
     plain = {r.bin_id: list(r.tokens) for r in packing.pack_sequences(
         seq, packed).collect()}
     assert plain[0] == [1, 2, 3] and plain[1] == [4, 5, 6]
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    """Constructed corpus, k=3: the keeper occurrence survives, the
+    other occurrence's span is cut, within-doc repeats are cut too,
+    short rows pass through untouched."""
+    from ulp_spark.operators import tokens
+
+    rows = [
+        # keeper of (1,2,3) — lexicographically smallest (id, pos) key
+        ("a", [1, 2, 3, 4, 5]),
+        # (1,2,3) at pos 0 duplicates doc a's -> positions 0..2 removed
+        ("b", [1, 2, 3, 9, 9]),
+        # (7,7,7) x3 within one doc: pos 0 keeps, pos 1+2 cut -> [7]
+        ("c", [7, 7, 7, 7, 7]),
+        # shorter than k: no windows, unchanged
+        ("d", [1, 2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in
+           tokens.remove_duplicate_spans(df, "tokens", "doc_id", k=3)
+           .collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    assert (got["a"].n_removed, list(got["a"].tokens_clean)) == (0, [1, 2, 3, 4, 5])
+    assert (got["b"].n_removed, list(got["b"].tokens_clean)) == (3, [9, 9])
+    assert (got["c"].n_removed, list(got["c"].tokens_clean)) == (4, [7])
+    assert (got["d"].n_removed, list(got["d"].tokens_clean)) == (0, [1, 2])
+    assert all(r.n_tok_clean == len(r.tokens_clean) for r in got.values())
+
+
+def test_remove_duplicate_spans_partition_invariant(spark):
+    """The keeper rule orders on (id, zero-padded pos) strings, never on
+    partition or arrival order: 1-partition and 16-partition runs agree
+    row for row on the heavy-dup fixture stream."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    def run(parts):
+        seq = fixtures.sequences(spark, 200, partitions=parts)
+        return {r.doc_id: (r.n_tok_clean, r.n_removed, tuple(r.tokens_clean))
+                for r in tokens.remove_duplicate_spans(
+                    seq, "tokens", "doc_id").collect()}
+
+    assert run(1) == run(16)

@@ -1035,3 +1035,124 @@ def sequence_bigram_scores_sql(
         FROM ex JOIN lp USING (t_prev, t)
         GROUP BY ex.id
     """
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr duplicate-span REMOVAL (Lee et al. 2021) — the rewrite op
+# --------------------------------------------------------------------------
+
+def remove_duplicate_spans(
+    df: DataFrame, tokens_col: str, id_col: str, k: int = GRAM,
+) -> DataFrame:
+    """Remove cross- and within-corpus duplicated token spans, keeping one
+    occurrence — the ExactSubstr *rewrite* (Lee et al. 2021 remove all but
+    one occurrence of any duplicated >=k-token substring; their suffix
+    array becomes a distributed k-token-window census here).  Where
+    ``duplicate_gram_coverage`` only SCORES partial duplication, this
+    rewrites the sequences: every token covered by a duplicated window
+    occurrence that is not that window's designated keeper is dropped,
+    and the array is rebuilt from the survivors.
+
+    Keeper rule (deterministic at any partitioning, portable to the
+    DuckDB twin): for each duplicated k-gram the occurrence with the
+    lexicographically smallest ``id || \\x01 || zero-padded(pos)`` key
+    keeps its tokens; every other occurrence of that gram is a duplicate
+    span.  A token survives iff NO duplicate occurrence covers its
+    position.  Within-doc repeats count: the second occurrence of a
+    repeated span inside one document is removed too, matching
+    ExactSubstr's corpus-level semantics.
+
+    Returns every input row as
+    ``(id, n_tok_clean, n_removed, tokens_clean)`` — rows shorter than
+    ``k`` have no windows and pass through unchanged.
+
+    Scale shape: posexplode to (id, pos, gram-md5) occurrences, seamed
+    ONCE to feed both the gram census (count + min-key aggregate on the
+    16-byte key) and the probe side; the join back is key-only (AQE
+    broadcasts the census when it fits, skew-splits otherwise).  Dup
+    occurrences explode to at most k removed positions each, collapse to
+    a per-doc sorted position list, and ONLY docs with duplicates carry a
+    row into the final left join — token arrays move once, in that join,
+    and never through the census.  No posting lists, no pair
+    materialization, no suffix array.
+    """
+    pos, gk, okey = "__pos", "__gk", "__okey"
+    occ = (
+        df.select(F.col(id_col),
+                  F.posexplode(token_grams(F.col(tokens_col), k))
+                  .alias(pos, gk))
+    )
+    occ = seam(occ)  # feeds the census AND the probe side
+    census = occ.groupBy(gk).agg(
+        F.count(F.lit(1)).alias("__n_occ"),
+        F.min(F.concat_ws("\x01", F.col(id_col),
+                          F.lpad(F.col(pos).cast("string"), 12, "0")))
+        .alias("__keeper"))
+    dup = (
+        occ.join(census, gk)
+        .filter((F.col("__n_occ") > 1)
+                & (F.concat_ws("\x01", F.col(id_col),
+                               F.lpad(F.col(pos).cast("string"), 12, "0"))
+                   != F.col("__keeper")))
+        .select(F.col(id_col),
+                F.explode(F.sequence(F.col(pos), F.col(pos) + (k - 1)))
+                .alias("__rp"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__rp")).alias("__removed"))
+    )
+    toks = F.col(tokens_col)
+    clean = F.when(
+        F.col("__removed").isNull(), toks,
+    ).otherwise(
+        F.filter(toks, lambda t, i: ~F.array_contains(F.col("__removed"), i)))
+    return (
+        df.join(dup, id_col, "left")
+        .select(F.col(id_col),
+                F.size(clean).alias("n_tok_clean"),
+                F.coalesce(F.size("__removed"), F.lit(0)).cast("int")
+                .alias("n_removed"),
+                clean.alias("tokens_clean"))
+    )
+
+
+def remove_duplicate_spans_sql(
+    table: str, tokens_col: str, id_col: str, k: int = GRAM,
+) -> str:
+    """DuckDB twin: same occurrence census, keeper rule, and rebuild."""
+    grams = token_grams_sql(tokens_col, k)
+    return f"""
+        WITH occ AS (
+          SELECT {id_col}, u.pos, u.gk,
+                 {id_col} || chr(1) || lpad(CAST(u.pos AS VARCHAR), 12, '0')
+                   AS okey
+          FROM (
+            SELECT {id_col},
+                   unnest(list_transform({grams},
+                          (g, i) -> {{'pos': i - 1, 'gk': g}})) AS u
+            FROM {table})
+        ),
+        census AS (
+          SELECT gk, count(*) AS n_occ, min(okey) AS keeper
+          FROM occ GROUP BY gk
+        ),
+        removed AS (
+          SELECT {id_col}, list_sort(list(DISTINCT rp)) AS removed_pos
+          FROM (
+            SELECT {id_col}, unnest(range(pos, pos + {k})) AS rp
+            FROM occ JOIN census USING (gk)
+            WHERE n_occ > 1 AND okey != keeper)
+          GROUP BY {id_col}
+        )
+        SELECT t.{id_col},
+               len(list_filter(t.{tokens_col},
+                   (x, i) -> r.removed_pos IS NULL
+                             OR NOT list_contains(r.removed_pos, i - 1)))::INT
+                 AS n_tok_clean,
+               coalesce(len(r.removed_pos), 0)::INT AS n_removed,
+               list_filter(t.{tokens_col},
+                   (x, i) -> r.removed_pos IS NULL
+                             OR NOT list_contains(r.removed_pos, i - 1))
+                 AS tokens_clean
+        FROM {table} t LEFT JOIN removed r USING ({id_col})
+    """
