@@ -772,6 +772,18 @@ def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.repeated_suffix(aug, "tokens", "doc_id")
 
 
+def _q_doc_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (terminal punct + min-words + blacklist,
+    rebuilt text + keep_doc flag) over the deterministic lined_docs
+    fixture — the sf documents are single-line by construction, so the
+    line rules need the T5 fixture (same precedent as the T4 clusterable
+    embeddings).  Zero-shuffle per-row rewrite, plan-pinned in pytest."""
+    from ulp_spark.operators import curation
+
+    d = fixtures.lined_docs(spark, 2_000)
+    return curation.clean_lines(d, "text", "doc_id")
+
+
 def _q_seq_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr duplicate-span REMOVAL (Lee et al. 2021) over the
     input_hint table: every token covered by a non-keeper occurrence of a
@@ -1076,6 +1088,7 @@ _PYTEST_ONLY = frozenset({
     "doc_winnow_candidates",
     "seq_repeated_suffix",
     "seq_remove_dup_spans",
+    "doc_clean_lines",
     "emb_semantic_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
@@ -1164,6 +1177,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_bigram_scores": _q_seq_bigram_scores,
         "seq_repeated_suffix": _q_seq_repeated_suffix,
         "seq_remove_dup_spans": _q_seq_remove_dup_spans,
+        "doc_clean_lines": _q_doc_clean_lines,
         "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
@@ -1373,6 +1387,13 @@ def _semantic_dedup_sql() -> str:
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.8"""
     return dedup.connected_components_sql(pairs, id_alias="vec_id")
+
+
+def _clean_lines_sql() -> str:
+    from ulp_spark.operators import curation
+
+    return curation.clean_lines_sql(
+        f"({fixtures.lined_docs_sql(2_000)})", "text", "doc_id")
 
 
 def _remove_dup_spans_sql() -> str:
@@ -1805,6 +1826,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_bigram_scores": _bigram_scores_sql(),
         "seq_repeated_suffix": _repeated_suffix_sql(),
         "seq_remove_dup_spans": _remove_dup_spans_sql(),
+        "doc_clean_lines": _clean_lines_sql(),
         "emb_semantic_dedup_groups": _semantic_dedup_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),

@@ -2167,3 +2167,59 @@ def test_remove_duplicate_spans_partition_invariant(spark):
                     seq, "tokens", "doc_id").collect()}
 
     assert run(1) == run(16)
+
+
+def test_clean_lines_hand_computed(spark):
+    """Each C4 rule in isolation: terminal punct, min words, blacklist,
+    blank lines, null text, and the min_lines doc flag."""
+    from ulp_spark.operators import curation
+
+    rows = [
+        ("a", "one two three.\nno terminal punct here\nfour five six!"),
+        ("b", "too short.\n\n   \nthis javascript line is blacklisted."),
+        ("c", None),
+        ("d", 'quoted line stays."\nlorem ipsum dolor sit amet.'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in
+           curation.clean_lines(df, "text", "doc_id", min_words=3,
+                                min_lines=2).collect()}
+    # a: line 2 lacks terminal punct; lines 1+3 survive -> keep_doc
+    assert got["a"].text_clean == "one two three.\nfour five six!"
+    assert (got["a"].n_lines, got["a"].n_kept, got["a"].keep_doc) == (3, 2, True)
+    # b: "too short." has 2 words; blanks don't count as lines;
+    #    the javascript line is blacklisted -> nothing survives
+    assert (got["b"].text_clean, got["b"].n_lines, got["b"].n_kept,
+            got["b"].keep_doc) == ("", 2, 0, False)
+    # c: null text behaves like empty
+    assert (got["c"].text_clean, got["c"].n_lines, got["c"].n_kept,
+            got["c"].keep_doc) == ("", 0, 0, False)
+    # d: closing-quote terminal counts; lorem ipsum is blacklisted
+    assert got["d"].text_clean == 'quoted line stays."'
+    assert (got["d"].n_kept, got["d"].keep_doc) == (1, False)
+
+
+def test_clean_lines_no_shuffle_plan(spark):
+    """The rewrite is per-row array algebra: the executed plan must hold
+    zero Exchanges (co-partitions with the input at any scale)."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import curation
+
+    out = curation.clean_lines(
+        fixtures.lined_docs(spark, 100), "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_lined_docs_fixture_bitwise_twin(spark):
+    """lined_docs and lined_docs_sql must agree on every byte (the oracle
+    for every line-level op rides this fixture)."""
+    import duckdb
+
+    from ulp_spark import fixtures
+
+    got = {r.doc_id: r.text for r in
+           fixtures.lined_docs(spark, 300, partitions=7).collect()}
+    con = duckdb.connect()
+    exp = dict(con.sql(fixtures.lined_docs_sql(300)).fetchall())
+    assert got == exp

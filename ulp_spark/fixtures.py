@@ -269,3 +269,65 @@ def pattern_dict_sql() -> str:
         f"SELECT * FROM (VALUES {rows}) "
         "AS t(provider, category, severity_weight)"
     )
+
+
+# --------------------------------------------------------------------------
+# T5: deterministic LINED documents (for line-level curation rules)
+# --------------------------------------------------------------------------
+
+_LINE_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+
+def lined_docs(spark: SparkSession, n: int,
+               partitions: int | None = None) -> DataFrame:
+    """(doc_id, text) where text has newline-separated LINES — the unit the
+    C4 line-level rules operate on (the sf documents tables are single-line
+    by construction, so they cannot exercise a line filter).
+
+    Doc i has ``i % 7 + 1`` lines; line j has ``(i*3 + j*5) % 8`` words
+    drawn from a 5-word list, gains the blacklist word "javascript" when
+    ``(i*5 + j) % 7 == 0``, and ends in '.' when ``(i + j) % 3 != 0`` —
+    so terminal-punct, min-words, and blacklist rules all fire on
+    disjoint-but-overlapping line subsets.  Pure column expressions:
+    same bits at any scale or partitioning."""
+    words_arr = ", ".join(f"'{w}'" for w in _LINE_WORDS)
+    df = spark.range(0, n, 1,
+                     partitions or spark.sparkContext.defaultParallelism)
+    # gate the 0-word case: sequence(1, 0) is DESCENDING [1, 0] in Spark
+    # (the recorded trap), where DuckDB's range(1, 1) is empty
+    nw = "(id*3 + j*5) % 8"
+    line = (
+        f"concat_ws(' ', transform("
+        f"if({nw} = 0, array(), sequence(1, {nw})), "
+        f"w -> element_at(array({words_arr}), "
+        f"cast((id + j*3 + w) % 5 + 1 as int))))"
+    )
+    line = (f"concat({line}, "
+            f"if((id*5 + j) % 7 = 0, ' javascript', ''), "
+            f"if((id + j) % 3 != 0, '.', ''))")
+    return df.select(
+        F.format_string("ldoc-%06d", F.col("id")).alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(0, cast(id % 7 as int)), "
+            f"j -> {line}), '\\n')"
+        ).alias("text"),
+    )
+
+
+def lined_docs_sql(n: int) -> str:
+    """DuckDB SQL producing exactly ``lined_docs(spark, n)``."""
+    words_arr = ", ".join(f"'{w}'" for w in _LINE_WORDS)
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's concat_ws is ''
+    line = (
+        f"coalesce(array_to_string([[{words_arr}]"
+        f"[CAST((i + j*3 + w) % 5 + 1 AS INT)] "
+        f"FOR w IN range(1, (i*3 + j*5) % 8 + 1)], ' '), '') "
+        f"|| (CASE WHEN (i*5 + j) % 7 = 0 THEN ' javascript' ELSE '' END) "
+        f"|| (CASE WHEN (i + j) % 3 != 0 THEN '.' ELSE '' END)"
+    )
+    return f"""
+    SELECT printf('ldoc-%06d', i) AS doc_id,
+           array_to_string([{line} FOR j IN range(0, i % 7 + 1)], chr(10))
+             AS text
+    FROM range(0, {n}) t(i)
+    """

@@ -635,3 +635,91 @@ def strip_boilerplate_sql(
                (base.n_chunks - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped
         FROM base LEFT JOIN reb USING ({id_col})
     """
+
+
+# --------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning" SS2.2) — rule-based document rewrite
+# --------------------------------------------------------------------------
+
+C4_TERMINAL_CHARS = (".", "!", "?", '"', "”")
+C4_LINE_BLACKLIST = ("javascript", "lorem ipsum", "cookie policy")
+
+
+def _line_keep(line: Column, min_words: int, blacklist) -> Column:
+    t = F.trim(line)
+    low = F.lower(t)
+    black = F.lit(False)
+    for phrase in blacklist:
+        black = black | F.contains(low, F.lit(phrase))
+    return (
+        (F.length(t) > 0)
+        & F.substring(t, -1, 1).isin(*C4_TERMINAL_CHARS)
+        & (F.size(F.split(t, r"\s+")) >= min_words)
+        & ~black
+    )
+
+
+def clean_lines(
+    df: DataFrame, text_col: str, id_col: str,
+    min_words: int = 3, min_lines: int = 2,
+    blacklist=C4_LINE_BLACKLIST,
+) -> DataFrame:
+    """C4's line-level cleaning as a document REWRITE: keep only lines
+    that (a) end in a terminal punctuation mark, (b) have at least
+    ``min_words`` whitespace words, and (c) contain no blacklist phrase
+    (C4 dropped any line with the word "javascript"); rebuild the text
+    from survivors and flag documents keeping fewer than ``min_lines``
+    lines (C4 dropped pages with < 3 sentences — reported as a flag here
+    so callers choose drop vs inspect).  Complements strip_boilerplate
+    (census-based, corpus-global) with the rule-based, corpus-free
+    member of the curation family.
+
+    Returns one row per input document:
+    (id, text_clean, n_lines, n_kept, keep_doc) — ``n_lines`` counts
+    non-blank lines, null text behaves like empty text.
+
+    Scale shape: pure per-row array algebra (split, filter-lambda,
+    array_join) in ONE whole-stage-codegen span — no shuffle, no UDF, no
+    census; co-partitions with the input at any scale.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    kept = F.filter(lines, lambda l: _line_keep(l, min_words, blacklist))
+    nonblank = F.filter(lines, lambda l: F.length(F.trim(l)) > 0)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(nonblank).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        (F.size(kept) >= min_lines).alias("keep_doc"),
+    )
+
+
+def clean_lines_sql(
+    table: str, text_col: str, id_col: str,
+    min_words: int = 3, min_lines: int = 2,
+    blacklist=C4_LINE_BLACKLIST,
+) -> str:
+    """DuckDB twin: identical rules over string_split/list_filter."""
+    terminals = ", ".join(
+        "'" + c.replace("'", "''") + "'" for c in C4_TERMINAL_CHARS)
+    black = " OR ".join(
+        f"contains(lower(trim(x)), '{p}')" for p in blacklist)
+    ok = (
+        f"length(trim(x)) > 0 AND right(trim(x), 1) IN ({terminals}) "
+        f"AND len(string_split_regex(trim(x), '\\s+')) >= {min_words} "
+        f"AND NOT ({black})"
+    )
+    return f"""
+        SELECT {id_col},
+               coalesce(array_to_string(
+                 list_filter(string_split(coalesce({text_col}, ''), chr(10)),
+                             x -> {ok}), chr(10)), '') AS text_clean,
+               len(list_filter(string_split(coalesce({text_col}, ''), chr(10)),
+                   x -> length(trim(x)) > 0))::INT AS n_lines,
+               len(list_filter(string_split(coalesce({text_col}, ''), chr(10)),
+                   x -> {ok}))::INT AS n_kept,
+               len(list_filter(string_split(coalesce({text_col}, ''), chr(10)),
+                   x -> {ok})) >= {min_lines} AS keep_doc
+        FROM {table}
+    """
