@@ -772,6 +772,24 @@ def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.repeated_suffix(aug, "tokens", "doc_id")
 
 
+def _q_doc_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE learn -> apply chain under one gate: vocab.bpe_train
+    (distributed word counts + incremental driver merge loop) learns 24
+    merges over the lined_docs fixture, tokenizer.bpe_tokenize applies
+    them to the training words.  The ORACLE trains independently — a
+    recount-from-scratch naive loop over DuckDB word counts — so a
+    divergence in either the trainer or the apply recurrence fails the
+    row compare."""
+    from ulp_spark.operators import tokenizer, vocab
+
+    d = fixtures.lined_docs(spark, 600)
+    trained = vocab.bpe_train(d, "text", n_merges=24)
+    words = vocab.word_counts(d, "text").select(
+        F.col("word").alias("doc_id"), F.col("word").alias("text"))
+    return tokenizer.bpe_tokenize(
+        words, "text", "doc_id", trained["merges"], trained["vocab"])
+
+
 def _q_doc_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (terminal punct + min-words + blacklist,
     rebuilt text + keep_doc flag) over the deterministic lined_docs
@@ -1089,6 +1107,7 @@ _PYTEST_ONLY = frozenset({
     "seq_repeated_suffix",
     "seq_remove_dup_spans",
     "doc_clean_lines",
+    "doc_bpe_learned_tokenize",
     "emb_semantic_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
@@ -1178,6 +1197,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_repeated_suffix": _q_seq_repeated_suffix,
         "seq_remove_dup_spans": _q_seq_remove_dup_spans,
         "doc_clean_lines": _q_doc_clean_lines,
+        "doc_bpe_learned_tokenize": _q_doc_bpe_learned_tokenize,
         "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
@@ -1387,6 +1407,59 @@ def _semantic_dedup_sql() -> str:
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.8"""
     return dedup.connected_components_sql(pairs, id_alias="vec_id")
+
+
+def _naive_bpe_train_for_oracle(rows, n_merges, min_count=2):
+    """Recount-from-scratch BPE trainer — the oracle-side independent
+    re-derivation of vocab.bpe_merge_loop (each iteration recounts every
+    pair over every word; merge the (count desc, pair asc) argmax
+    everywhere, L->R non-overlapping)."""
+    words = [(list(w), n) for w, n in rows]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for s, n in words:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_count:
+            break
+        merges.append(best)
+        l, r = best
+        for wi, (s, n) in enumerate(words):
+            out, j = [], 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == l and s[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            words[wi] = (out, n)
+    base = sorted({c for w, _ in rows for c in w})
+    vocab, seen = [], set()
+    for piece in base + [l + r for l, r in merges]:
+        if piece not in seen:
+            seen.add(piece)
+            vocab.append(piece)
+    return merges, vocab
+
+
+def _bpe_learned_tokenize_sql() -> str:
+    import duckdb
+
+    from ulp_spark.operators import tokenizer, vocab
+
+    lined = f"({fixtures.lined_docs_sql(600)})"
+    wc_sql = vocab.word_counts_sql(lined, "text")
+    con = duckdb.connect()
+    rows = [(w, n) for w, n in con.sql(wc_sql).fetchall()]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    merges, vcb = _naive_bpe_train_for_oracle(rows, n_merges=24)
+    words = (f"(SELECT word AS doc_id, word AS text FROM ({wc_sql}))")
+    return tokenizer.bpe_tokenize_sql(words, "text", "doc_id", merges, vcb)
 
 
 def _clean_lines_sql() -> str:
@@ -1827,6 +1900,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_repeated_suffix": _repeated_suffix_sql(),
         "seq_remove_dup_spans": _remove_dup_spans_sql(),
         "doc_clean_lines": _clean_lines_sql(),
+        "doc_bpe_learned_tokenize": _bpe_learned_tokenize_sql(),
         "emb_semantic_dedup_groups": _semantic_dedup_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),

@@ -2223,3 +2223,107 @@ def test_lined_docs_fixture_bitwise_twin(spark):
     con = duckdb.connect()
     exp = dict(con.sql(fixtures.lined_docs_sql(300)).fetchall())
     assert got == exp
+
+
+def _naive_bpe_train(rows, n_merges, min_count=2):
+    """Recount-from-scratch BPE reference (independent of the incremental
+    bookkeeping in vocab.bpe_merge_loop): each iteration recounts every
+    pair over every word, merges the (count desc, pair asc) argmax
+    everywhere L->R non-overlapping."""
+    words = [(list(w), n) for w, n in rows]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for s, n in words:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_count:
+            break
+        merges.append(best)
+        l, r = best
+        for wi, (s, n) in enumerate(words):
+            out, j = [], 0
+            while j < len(s):
+                if j < len(s) - 1 and s[j] == l and s[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            words[wi] = (out, n)
+    base = sorted({c for w, _ in rows for c in w})
+    vocab, seen = [], set()
+    for piece in base + [l + r for l, r in merges]:
+        if piece not in seen:
+            seen.add(piece)
+            vocab.append(piece)
+    return merges, vocab
+
+
+def test_bpe_merge_loop_matches_naive_randomized():
+    """200 random word-count tables: the incremental loop must equal the
+    recount-from-scratch reference merge-for-merge (ties, stale-index
+    rewrites, early stop included)."""
+    import random
+
+    from ulp_spark.operators.vocab import bpe_merge_loop
+
+    rng = random.Random(0xB9E)
+    for trial in range(200):
+        n_words = rng.randint(1, 12)
+        rows = sorted({
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+            for _ in range(n_words)})
+        rows = [(w, rng.randint(1, 9)) for w in rows]
+        n_merges = rng.randint(0, 12)
+        got = bpe_merge_loop(rows, n_merges, min_count=2)
+        exp = _naive_bpe_train(rows, n_merges, min_count=2)
+        assert got == exp, f"trial {trial}: {rows} x{n_merges}"
+
+
+def test_bpe_train_first_merge_matches_top_stats(spark):
+    """bpe_train's first merge must be bpe_top_merges' head row (the
+    frozen-statistics view and the live loop agree at step one)."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import vocab
+
+    d = fixtures.lined_docs(spark, 300)
+    trained = vocab.bpe_train(d, "text", n_merges=5)
+    top = vocab.bpe_top_merges(d, "text", k=1).collect()[0]
+    assert "".join(trained["merges"][0]) == top["pair"]
+    assert trained["n_words_trained"] == trained["n_words_total"]
+    assert trained["freq_mass_kept"] == 1.0
+
+
+def test_bpe_train_apply_roundtrip(spark):
+    """learn -> apply: tokenizing the training words with the learned
+    merges+vocab yields no unk ids, and the vocab pieces concatenate
+    back to each word (token-boundary conservation)."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokenizer, vocab
+
+    d = fixtures.lined_docs(spark, 300)
+    trained = vocab.bpe_train(d, "text", n_merges=12)
+    words = (vocab.word_counts(d, "text").select(
+        F.col("word").alias("doc_id"), F.col("word").alias("text")))
+    out = tokenizer.bpe_tokenize(
+        words, "text", "doc_id", trained["merges"], trained["vocab"])
+    pieces = trained["vocab"]
+    for r in out.collect():
+        assert all(t >= 0 for t in r.tokens), r
+        assert "".join(pieces[t] for t in r.tokens) == r.doc_id
+
+
+def test_bpe_train_max_words_cap_is_loud(spark):
+    """Capping the trained vocabulary reports exactly what was dropped."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import vocab
+
+    d = fixtures.lined_docs(spark, 300)
+    trained = vocab.bpe_train(d, "text", n_merges=3, max_words=2)
+    assert trained["n_words_trained"] == 2
+    assert trained["n_words_total"] > 2
+    assert 0.0 < trained["freq_mass_kept"] < 1.0

@@ -200,3 +200,128 @@ def bigram_coverage_sql(
                            / p.n_bigrams, 6) END AS common_frac
     FROM {table} t LEFT JOIN per_doc p USING ({id_col})
     """
+
+
+# --------------------------------------------------------------------------
+# BPE TRAINING (Sennrich et al. 2016) — the full iterative merge loop
+# --------------------------------------------------------------------------
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int,
+    max_words: int = 200_000, min_count: int = 2,
+) -> dict:
+    """Learn an ordered BPE merge list from the corpus — the full
+    iterative loop, closing the learn -> apply chain: ``bpe_top_merges``
+    exposes the FIRST iteration's frozen statistics; this runs the real
+    recurrence (count pairs, merge the argmax everywhere, recount) and
+    its output feeds ``tokenizer.bpe_tokenize`` directly.
+
+    Scale shape (the two-regime design every real BPE trainer uses,
+    incl. the train-on-sample precedent of ``ivf_train_spherical``): the
+    corpus-scale work is ONE distributed word-count aggregate — map-side
+    partial combine collapses 100 TB of text to its vocabulary on the
+    first exchange — plus a TakeOrderedAndProject keeping the
+    ``max_words`` most frequent words; the merge recurrence then runs on
+    that bounded driver table (pair counts updated incrementally, only
+    words containing the merged pair are revisited).  The recurrence is
+    inherently sequential (merge i+1's statistics depend on merge i
+    having been applied), so no distributed form exists that isn't
+    n_merges full shuffles.
+
+    Tie-break: highest count, then lexicographically smallest
+    ``(left, right)`` tuple — deterministic at any partitioning.  Pair
+    occurrences count per-occurrence within a word ("aa" twice in
+    "aaa"), matching ``bpe_pair_counts``.  Stops early when no pair
+    reaches ``min_count``.
+
+    Returns ``{"merges": [(l, r), ...], "vocab": [piece, ...],
+    "n_words_trained", "n_words_total", "freq_mass_kept"}`` — ``vocab``
+    is base characters (sorted) then merged symbols in rank order,
+    first-occurrence deduplicated, ready for ``bpe_tokenize``; the two
+    coverage numbers make the ``max_words`` cap loud, never silent.
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    wc = word_counts(df, text_col)
+    tot = wc.agg(F.count(F.lit(1)).alias("w"),
+                 F.sum("n").alias("m")).collect()[0]
+    n_words_total, mass_total = tot["w"] or 0, tot["m"] or 0
+    rows = [(r["word"], r["n"]) for r in
+            wc.orderBy(F.col("n").desc(), "word").limit(max_words)
+            .collect()]
+    mass_kept = sum(n for _, n in rows)
+    merges, vocab = bpe_merge_loop(rows, n_merges, min_count)
+    return {
+        "merges": merges,
+        "vocab": vocab,
+        "n_words_trained": len(rows),
+        "n_words_total": n_words_total,
+        "freq_mass_kept": (float(mass_kept) / mass_total
+                           if mass_total else 1.0),
+    }
+
+
+def bpe_merge_loop(
+    rows: list[tuple[str, int]], n_merges: int, min_count: int = 2,
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """The driver-side merge recurrence behind ``bpe_train``, exposed as
+    a pure function of a (word, count) table so tests and oracles can
+    drive it without a SparkSession.  Incremental bookkeeping: pair
+    counts update in place and only words containing the merged pair are
+    revisited (stale inverted-index entries are re-checked at use time);
+    pinned against a recount-from-scratch naive reference in pytest.
+    Returns (merges in rank order, vocab = sorted base chars then merged
+    symbols, first-occurrence deduplicated)."""
+    from collections import defaultdict
+
+    syms = [list(w) for w, _ in rows]
+    freq = [n for _, n in rows]
+
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+
+    def add_word(i, sign=1):
+        s = syms[i]
+        for a, b in zip(s, s[1:]):
+            pair_counts[(a, b)] += sign * freq[i]
+            if sign > 0:
+                pair_words[(a, b)].add(i)
+
+    for i in range(len(syms)):
+        add_word(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best, best_n = None, 0
+        for p, c in pair_counts.items():
+            if c > best_n or (c == best_n and best is not None and p < best):
+                best, best_n = p, c
+        if best is None or best_n < min_count:
+            break
+        merges.append(best)
+        l, r = best
+        for i in list(pair_words[best]):
+            if (l, r) not in zip(syms[i], syms[i][1:]):
+                continue  # stale index entry from an earlier rewrite
+            add_word(i, sign=-1)
+            out, j = [], 0
+            s = syms[i]
+            while j < len(s):  # merge ALL occurrences, L->R non-overlap
+                if j < len(s) - 1 and s[j] == l and s[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            syms[i] = out
+            add_word(i)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+
+    base = sorted({c for w, _ in rows for c in w})
+    vocab, seen = [], set()
+    for piece in base + [l + r for l, r in merges]:
+        if piece not in seen:
+            seen.add(piece)
+            vocab.append(piece)
+    return merges, vocab
