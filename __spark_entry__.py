@@ -772,6 +772,21 @@ def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.repeated_suffix(aug, "tokens", "doc_id")
 
 
+def _q_seq_resume_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-resume loader position: shard manifest over the
+    input_hint table (4096-token shards), trainer checkpoint at
+    global_step 1000 x batch 32 = 32,000 sequences consumed — past one
+    epoch of the 10k-row fixture, so the epoch wrap, resume shard, and
+    in-shard skip are all exercised.  The manifest is metadata-scale;
+    the corpus is never touched."""
+    from ulp_spark.operators import sharding
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    man = sharding.shard_manifest(seq, "doc_id", "n_tok",
+                                  shard_tokens=1 << 12)
+    return sharding.resume_position(man, global_step=1_000, batch_size=32)
+
+
 def _q_doc_bpe_learned_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE learn -> apply chain under one gate: vocab.bpe_train
     (distributed word counts + incremental driver merge loop) learns 24
@@ -1108,6 +1123,7 @@ _PYTEST_ONLY = frozenset({
     "seq_remove_dup_spans",
     "doc_clean_lines",
     "doc_bpe_learned_tokenize",
+    "seq_resume_position",
     "emb_semantic_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
@@ -1198,6 +1214,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_remove_dup_spans": _q_seq_remove_dup_spans,
         "doc_clean_lines": _q_doc_clean_lines,
         "doc_bpe_learned_tokenize": _q_doc_bpe_learned_tokenize,
+        "seq_resume_position": _q_seq_resume_position,
         "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
@@ -1407,6 +1424,16 @@ def _semantic_dedup_sql() -> str:
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.8"""
     return dedup.connected_components_sql(pairs, id_alias="vec_id")
+
+
+def _resume_position_sql() -> str:
+    from ulp_spark.operators import sharding
+
+    man = sharding.shard_manifest_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "doc_id", "n_tok",
+        shard_tokens=1 << 12)
+    return sharding.resume_position_sql(
+        f"({man})", global_step=1_000, batch_size=32)
 
 
 def _naive_bpe_train_for_oracle(rows, n_merges, min_count=2):
@@ -1901,6 +1928,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_remove_dup_spans": _remove_dup_spans_sql(),
         "doc_clean_lines": _clean_lines_sql(),
         "doc_bpe_learned_tokenize": _bpe_learned_tokenize_sql(),
+        "seq_resume_position": _resume_position_sql(),
         "emb_semantic_dedup_groups": _semantic_dedup_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),

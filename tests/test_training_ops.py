@@ -2327,3 +2327,34 @@ def test_bpe_train_max_words_cap_is_loud(spark):
     assert trained["n_words_trained"] == 2
     assert trained["n_words_total"] > 2
     assert 0.0 < trained["freq_mass_kept"] < 1.0
+
+
+def test_resume_position_hand_computed(spark):
+    """Shards of 10/5/20 seqs, batch 4: step 0 -> shard 0 skip 0;
+    step 3 (12 eaten) -> shard 1 skip 2; step 8 (32 eaten) -> 35-seq
+    epoch 0, shard 2 skip 17; step 9 (36 eaten) -> epoch 1, shard 0
+    skip 1; exact epoch boundary lands on shard 0 skip 0."""
+    from ulp_spark.operators import sharding
+
+    man = spark.createDataFrame(
+        [(0, 10), (1, 5), (2, 20)], "shard long, n_seqs long")
+
+    def pos(step, bs=4):
+        r = sharding.resume_position(man, step, bs).collect()
+        assert len(r) == 1
+        return (r[0].epochs_done, r[0].resume_shard, r[0].skip_seqs,
+                r[0].total_seqs)
+
+    assert pos(0) == (0, 0, 0, 35)
+    assert pos(3) == (0, 1, 2, 35)
+    assert pos(8) == (0, 2, 17, 35)
+    assert pos(9) == (1, 0, 1, 35)
+    assert pos(35, bs=1) == (1, 0, 0, 35)
+    assert pos(70, bs=1) == (2, 0, 0, 35)
+    with pytest.raises(ValueError):
+        sharding.resume_position(man, -1, 4)
+    with pytest.raises(ValueError):
+        sharding.resume_position(man, 1, 0)
+    # empty manifest -> empty result
+    empty = spark.createDataFrame([], "shard long, n_seqs long")
+    assert sharding.resume_position(empty, 5, 4).count() == 0

@@ -127,3 +127,81 @@ def write_shards(
                 f"write_shards verify failed: manifest/output mismatch, "
                 f"first diff row {bad[0].asDict()}")
     return manifest
+
+
+# --------------------------------------------------------------------------
+# Data-loader resume: where does training step S restart in the shards?
+# --------------------------------------------------------------------------
+
+def resume_position(
+    manifest: DataFrame, global_step: int, batch_size: int,
+) -> DataFrame:
+    """Given the shard manifest and a trainer checkpoint at
+    ``global_step`` with global ``batch_size``, compute where the data
+    loader resumes: a trainer consuming sequences in shard order has
+    eaten ``global_step * batch_size`` sequences (wrapping at epoch
+    boundaries), so the resume point is the shard whose cumulative
+    sequence range contains the within-epoch consumed count, plus the
+    skip offset inside that shard — the skip-to-offset contract every
+    deterministic-resume loader (Megatron/torchdata style) needs.
+
+    Returns ONE row: (epochs_done, consumed_in_epoch, resume_shard,
+    skip_seqs, total_seqs).  Empty manifest -> empty result (a trainer
+    with no data has no position).
+
+    Scale shape: the manifest is METADATA-scale — one row per shard,
+    bounded by corpus_tokens / shard_tokens — so the ordered cumulative
+    sum over it is a deliberate small-table window, not a corpus-scale
+    SinglePartition wedge (same judgment as the fan-out manifest); the
+    corpus itself is never touched.
+    """
+    if global_step < 0 or batch_size <= 0:
+        raise ValueError("global_step must be >= 0, batch_size > 0")
+    from pyspark.sql import Window
+
+    consumed = global_step * batch_size
+    w = (Window.orderBy("shard")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = manifest.select(
+        "shard", "n_seqs",
+        F.coalesce(F.sum("n_seqs").over(w), F.lit(0)).alias("cum_prev"),
+        F.sum("n_seqs").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("total"),
+    )
+    in_epoch = F.lit(consumed) % F.col("total")
+    return (
+        cum.filter((F.col("cum_prev") <= in_epoch)
+                   & (in_epoch < F.col("cum_prev") + F.col("n_seqs")))
+        .select(
+            F.expr(f"CAST({consumed} AS BIGINT) DIV total")
+            .alias("epochs_done"),
+            in_epoch.cast("bigint").alias("consumed_in_epoch"),
+            F.col("shard").alias("resume_shard"),
+            (in_epoch - F.col("cum_prev")).cast("bigint").alias("skip_seqs"),
+            F.col("total").cast("bigint").alias("total_seqs"),
+        )
+    )
+
+
+def resume_position_sql(
+    manifest_table: str, global_step: int, batch_size: int,
+) -> str:
+    """DuckDB twin over the same manifest relation."""
+    consumed = global_step * batch_size
+    return f"""
+    WITH c AS (
+      SELECT shard, n_seqs,
+             (sum(n_seqs) OVER (ORDER BY shard) - n_seqs)::BIGINT AS cum_prev,
+             (sum(n_seqs) OVER ())::BIGINT AS total
+      FROM {manifest_table}
+    )
+    SELECT ({consumed} // total)::BIGINT AS epochs_done,
+           ({consumed} % total)::BIGINT AS consumed_in_epoch,
+           shard AS resume_shard,
+           ({consumed} % total - cum_prev)::BIGINT AS skip_seqs,
+           total AS total_seqs
+    FROM c
+    WHERE cum_prev <= {consumed} % total
+      AND {consumed} % total < cum_prev + n_seqs
+    """
