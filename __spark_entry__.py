@@ -830,6 +830,24 @@ def _q_seq_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.remove_duplicate_spans(seq, "tokens", "doc_id")
 
 
+def _q_seq_trim_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degenerate-loop REWRITE over the same constructed-tail stream
+    as seq_repeated_suffix: redundant trailing copies dropped, one copy
+    kept, arrays rebuilt — zero-shuffle per-row expression work."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    aug = seq.select(
+        "doc_id",
+        F.concat(
+            F.col("tokens"),
+            F.flatten(F.array_repeat(
+                F.slice(F.col("tokens"),
+                        F.greatest(F.size("tokens") - 1, F.lit(1)), 2),
+                (F.col("seq_no") % 4).cast("int")))).alias("tokens"))
+    return tokens.trim_repeated_suffix(aug, "tokens", "doc_id")
+
+
 def _q_emb_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup groups: SRP-bucketed cosine near-dup pairs over the
     clusterable T4 fixture (threshold 0.8 — within-cluster cosine ~0.85,
@@ -1124,6 +1142,7 @@ _PYTEST_ONLY = frozenset({
     "doc_clean_lines",
     "doc_bpe_learned_tokenize",
     "seq_resume_position",
+    "seq_trim_repeated_suffix",
     "emb_semantic_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
@@ -1215,6 +1234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clean_lines": _q_doc_clean_lines,
         "doc_bpe_learned_tokenize": _q_doc_bpe_learned_tokenize,
         "seq_resume_position": _q_seq_resume_position,
+        "seq_trim_repeated_suffix": _q_seq_trim_repeated_suffix,
         "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
@@ -1503,17 +1523,29 @@ def _remove_dup_spans_sql() -> str:
         f"({fixtures.sequences_sql(1_500)})", "tokens", "doc_id")
 
 
-def _repeated_suffix_sql() -> str:
-    from ulp_spark.operators import tokens
-
+def _aug_tail_sql() -> str:
+    """The constructed-tail stream shared by the repeated-suffix
+    detector and rewrite oracles."""
     base = fixtures.sequences_sql(N_FIXTURE)
-    aug = f"""(
+    return f"""(
         SELECT doc_id,
                tokens || flatten([
                  tokens[greatest(len(tokens) - 1, 1) : len(tokens)]
                  FOR r IN range(CAST(seq_no % 4 AS BIGINT))]) AS tokens
         FROM ({base}))"""
-    return tokens.repeated_suffix_sql(aug, "tokens", "doc_id")
+
+
+def _repeated_suffix_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.repeated_suffix_sql(_aug_tail_sql(), "tokens", "doc_id")
+
+
+def _trim_repeated_suffix_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.trim_repeated_suffix_sql(
+        _aug_tail_sql(), "tokens", "doc_id")
 
 
 def _bigram_scores_sql() -> str:
@@ -1929,6 +1961,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_clean_lines": _clean_lines_sql(),
         "doc_bpe_learned_tokenize": _bpe_learned_tokenize_sql(),
         "seq_resume_position": _resume_position_sql(),
+        "seq_trim_repeated_suffix": _trim_repeated_suffix_sql(),
         "emb_semantic_dedup_groups": _semantic_dedup_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),

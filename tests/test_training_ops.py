@@ -2358,3 +2358,58 @@ def test_resume_position_hand_computed(spark):
     # empty manifest -> empty result
     empty = spark.createDataFrame([], "shard long, n_seqs long")
     assert sharding.resume_position(empty, 5, 4).count() == 0
+
+
+def test_trim_repeated_suffix_hand_computed(spark):
+    """The rewrite drops floor(L/p)*p trailing tokens, keeping ONE copy
+    of the repeating block; ties go to the fundamental period; rows
+    without a repeat pass through."""
+    from ulp_spark.operators import tokens
+
+    rows = [
+        ("a", [1, 2, 3, 4, 3, 4, 3, 4]),   # p=2, 3 copies -> keep [1,2,3,4]
+        ("b", [5, 5, 5, 5]),               # p=1 (fundamental) -> [5]
+        ("c", [1, 2, 3]),                  # no repeat
+        ("d", [7]),                        # single token
+        ("e", [2, 9, 1, 2, 9, 1]),         # p=3, 2 copies -> [2,9,1]
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in
+           tokens.trim_repeated_suffix(df, "tokens", "doc_id").collect()}
+    assert (list(got["a"].tokens_clean), got["a"].trim_tokens,
+            got["a"].period) == ([1, 2, 3, 4], 4, 2)
+    assert (list(got["b"].tokens_clean), got["b"].trim_tokens,
+            got["b"].period) == ([5], 3, 1)
+    assert (list(got["c"].tokens_clean), got["c"].trim_tokens,
+            got["c"].period) == ([1, 2, 3], 0, 0)
+    assert (list(got["d"].tokens_clean), got["d"].trim_tokens,
+            got["d"].period) == ([7], 0, 0)
+    assert (list(got["e"].tokens_clean), got["e"].trim_tokens,
+            got["e"].period) == ([2, 9, 1], 3, 3)
+    assert all(r.n_tok_clean == len(r.tokens_clean) for r in got.values())
+
+
+def test_trim_repeated_suffix_consistent_with_detector(spark):
+    """Rewrite and detector must agree: n_tok_clean == n_tok -
+    trim_tokens and the same period, on the augmented fixture stream."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, 300)
+    aug = seq.select(
+        "doc_id",
+        F.concat(
+            F.col("tokens"),
+            F.flatten(F.array_repeat(
+                F.slice(F.col("tokens"),
+                        F.greatest(F.size("tokens") - 1, F.lit(1)), 2),
+                (F.col("seq_no") % 4).cast("int")))).alias("tokens"))
+    det = {r.doc_id: r for r in
+           tokens.repeated_suffix(aug, "tokens", "doc_id").collect()}
+    trm = {r.doc_id: r for r in
+           tokens.trim_repeated_suffix(aug, "tokens", "doc_id").collect()}
+    assert set(det) == set(trm)
+    for k in det:
+        assert trm[k].trim_tokens == det[k].trim_tokens
+        assert trm[k].period == det[k].period
+        assert trm[k].n_tok_clean == det[k].n_tok - det[k].trim_tokens

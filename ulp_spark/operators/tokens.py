@@ -844,6 +844,23 @@ def repeated_suffix(
         raise ValueError("max_period must be >= 1")
     toks = F.col(tokens_col)
     n = F.size(toks)
+    best = _best_repeat(toks, max_period)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tok"),
+        best["period"].cast("int").alias("period"),
+        best["n_copies"].alias("n_copies"),
+        best["trim_tokens"].alias("trim_tokens"),
+    )
+
+
+def _best_repeat(toks: Column, max_period: int) -> Column:
+    """Struct column (trim_tokens, neg_p, period, n_copies) for the best
+    trailing repeat of ``toks`` — the shared core of the
+    ``repeated_suffix`` detector and the ``trim_repeated_suffix``
+    rewrite.  (trim desc, period asc) tie-break via array_max over
+    structs; the no-repeat fallback is (0, 0, 0, 1)."""
+    n = F.size(toks)
 
     def stats_for(p: int):
         # cmp[i] = 1 iff the i-th token FROM THE END equals the one a
@@ -874,24 +891,11 @@ def repeated_suffix(
     none = F.struct(F.lit(0).cast("int").alias("trim_tokens"),
                     F.lit(0).alias("neg_p"), F.lit(0).alias("period"),
                     F.lit(1).cast("int").alias("n_copies"))
-    best = F.when(best["trim_tokens"] > 0, best).otherwise(none)
-    return df.select(
-        F.col(id_col),
-        n.cast("int").alias("n_tok"),
-        best["period"].cast("int").alias("period"),
-        best["n_copies"].alias("n_copies"),
-        best["trim_tokens"].alias("trim_tokens"),
-    )
+    return F.when(best["trim_tokens"] > 0, best).otherwise(none)
 
 
-def repeated_suffix_sql(
-    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
-    max_period: int = 8,
-) -> str:
-    """DuckDB twin: same L(p) run-length via list_position of the first
-    mismatch, same (trim desc, period asc) tie-break via a sorted struct
-    list (struct comparison is field-order lexicographic in both
-    engines)."""
+def _best_repeat_sql(tokens_col: str, max_period: int) -> str:
+    """DuckDB expression for _best_repeat's struct (pre-fallback)."""
     n = f"len({tokens_col})"
     cands = []
     for p in range(1, max_period + 1):
@@ -907,7 +911,18 @@ def repeated_suffix_sql(
             f"{{'trim_tokens': CAST(({L} // {p}) * {p} AS INT), "
             f"'neg_p': {-p}, 'period': {p}, "
             f"'n_copies': CAST(({L} // {p}) + 1 AS INT)}}")
-    best = f"list_max([{', '.join(cands)}])"
+    return f"list_max([{', '.join(cands)}])"
+
+
+def repeated_suffix_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    max_period: int = 8,
+) -> str:
+    """DuckDB twin: same L(p) run-length via list_position of the first
+    mismatch, same (trim desc, period asc) tie-break via a sorted struct
+    list (struct comparison is field-order lexicographic in both
+    engines)."""
+    best = _best_repeat_sql(tokens_col, max_period)
     return f"""
         SELECT {id_col},
                CAST(len({tokens_col}) AS INT) AS n_tok,
@@ -1155,4 +1170,60 @@ def remove_duplicate_spans_sql(
                              OR NOT list_contains(r.removed_pos, i - 1))
                  AS tokens_clean
         FROM {table} t LEFT JOIN removed r USING ({id_col})
+    """
+
+
+def trim_repeated_suffix(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    max_period: int = 8,
+) -> DataFrame:
+    """The REWRITE behind the ``repeated_suffix`` detector: drop the
+    redundant trailing copies of the best repeating block (keeping
+    exactly one copy — ``... A B A B A B`` becomes ``... A B``) and
+    return the rebuilt arrays.  One detector pass per row; not
+    guaranteed idempotent for nested repeats of different periods
+    (run-to-fixpoint is a caller loop if wanted).
+
+    Returns (id, tokens_clean, n_tok_clean, trim_tokens, period) for
+    every input row — rows with no trailing repeat pass through with
+    trim_tokens = 0.
+
+    Scale shape: identical to the detector — per-row JVM expression
+    work in one codegen stage, no shuffle, no UDF; output co-partitions
+    with the input.
+    """
+    if max_period < 1:
+        raise ValueError("max_period must be >= 1")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    best = _best_repeat(toks, max_period)
+    keep = n - best["trim_tokens"]
+    return df.select(
+        F.col(id_col),
+        F.slice(toks, 1, keep).alias("tokens_clean"),
+        keep.cast("int").alias("n_tok_clean"),
+        best["trim_tokens"].alias("trim_tokens"),
+        best["period"].cast("int").alias("period"),
+    )
+
+
+def trim_repeated_suffix_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    max_period: int = 8,
+) -> str:
+    """DuckDB twin: same best-repeat struct, slice keeps n - trim."""
+    best = _best_repeat_sql(tokens_col, max_period)
+    return f"""
+        SELECT {id_col},
+               {tokens_col}[1 : len({tokens_col}) -
+                 (CASE WHEN b.trim_tokens > 0 THEN b.trim_tokens
+                       ELSE 0 END)] AS tokens_clean,
+               CAST(len({tokens_col}) -
+                 (CASE WHEN b.trim_tokens > 0 THEN b.trim_tokens
+                       ELSE 0 END) AS INT) AS n_tok_clean,
+               CAST(CASE WHEN b.trim_tokens > 0 THEN b.trim_tokens
+                         ELSE 0 END AS INT) AS trim_tokens,
+               CAST(CASE WHEN b.trim_tokens > 0 THEN b.period
+                         ELSE 0 END AS INT) AS period
+        FROM (SELECT {id_col}, {tokens_col}, {best} AS b FROM {table})
     """
