@@ -886,6 +886,61 @@ def _q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", _BPE_Q_MERGES, _BPE_Q_VOCAB)
 
 
+def _q_seq_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence Shannon entropy of the within-sequence token
+    distribution (nats) — the model-free degenerate-content band-pass
+    signal.  Exact bigint micro-nat inner sum; two map-side-combined
+    shuffles carrying counts only."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.sequence_token_entropy(seq, "tokens", "doc_id")
+
+
+def _q_seq_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf fit: OLS of ln(count) on ln(rank) over the
+    token-frequency table.  Exact DECIMAL(38,0) regression sums; the
+    rank window runs over the VOCAB-BOUNDED count table, never the
+    corpus.  One output row."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.zipf_fit(seq, "tokens")
+
+
+def _q_seq_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-overlap matrix: distinct token-array fingerprints shared per
+    source pair (the dedup-priority report).  The fixture's arithmetic
+    stream has no natural cross-source dups, so every 10th row is
+    re-emitted under the rotated source in both engines."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    rot = (
+        F.when(F.col("source") == "web", F.lit("books"))
+        .when(F.col("source") == "books", F.lit("code"))
+        .when(F.col("source") == "code", F.lit("wiki"))
+        .when(F.col("source") == "wiki", F.lit("web"))
+    )
+    aug = seq.select("tokens", "source").unionAll(
+        seq.filter(F.col("seq_no") % 10 == 0)
+        .select("tokens", rot.alias("source")))
+    return tokens.cross_source_dup_matrix(aug, "tokens", "source")
+
+
+def _q_seq_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (Llama-3 dirty-fraction form): per TRAIN
+    sequence, the fraction of its 8-token windows occurring in the eval
+    split (source='wiki') — thresholdable, where seq_token_contamination
+    is the binary any-hit flag.  Eval grams broadcast; train side keeps
+    its partitioning."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.contamination_coverage(
+        seq, "tokens", "doc_id", F.col("source") == "wiki")
+
+
 def _q_corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP composition — the full text -> training-batches story as
     ONE plan: tokenize (mapInPandas, broadcast vocab, zero shuffles) ->
@@ -1144,6 +1199,10 @@ _PYTEST_ONLY = frozenset({
     "seq_resume_position",
     "seq_trim_repeated_suffix",
     "emb_semantic_dedup_groups",
+    "seq_token_entropy",
+    "seq_zipf_fit",
+    "seq_cross_source_dups",
+    "seq_contamination_frac",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1236,6 +1295,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_resume_position": _q_seq_resume_position,
         "seq_trim_repeated_suffix": _q_seq_trim_repeated_suffix,
         "emb_semantic_dedup_groups": _q_emb_semantic_dedup_groups,
+        "seq_token_entropy": _q_seq_token_entropy,
+        "seq_zipf_fit": _q_seq_zipf_fit,
+        "seq_cross_source_dups": _q_seq_cross_source_dups,
+        "seq_contamination_frac": _q_seq_contamination_frac,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1390,6 +1453,45 @@ def _anomalies_sql() -> str:
     from ulp_spark.operators import anomaly
 
     return anomaly.value_anomalies_sql("events")
+
+
+def _token_entropy_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_token_entropy_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id")
+
+
+def _zipf_fit_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.zipf_fit_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens")
+
+
+def _cross_source_dups_sql() -> str:
+    """The rotated-source union twin of _q_seq_cross_source_dups."""
+    from ulp_spark.operators import tokens
+
+    base = fixtures.sequences_sql(N_FIXTURE)
+    aug = f"""(
+        SELECT tokens, source FROM ({base})
+        UNION ALL
+        SELECT tokens,
+               CASE source WHEN 'web' THEN 'books'
+                           WHEN 'books' THEN 'code'
+                           WHEN 'code' THEN 'wiki'
+                           WHEN 'wiki' THEN 'web' END AS source
+        FROM ({base}) WHERE seq_no % 10 = 0)"""
+    return tokens.cross_source_dup_matrix_sql(aug, "tokens", "source")
+
+
+def _contamination_frac_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.contamination_coverage_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
+        "source = 'wiki'")
 
 
 def _chunk_windows_sql() -> str:
@@ -1963,6 +2065,10 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_resume_position": _resume_position_sql(),
         "seq_trim_repeated_suffix": _trim_repeated_suffix_sql(),
         "emb_semantic_dedup_groups": _semantic_dedup_sql(),
+        "seq_token_entropy": _token_entropy_sql(),
+        "seq_zipf_fit": _zipf_fit_sql(),
+        "seq_cross_source_dups": _cross_source_dups_sql(),
+        "seq_contamination_frac": _contamination_frac_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

@@ -2413,3 +2413,93 @@ def test_trim_repeated_suffix_consistent_with_detector(spark):
         assert trm[k].trim_tokens == det[k].trim_tokens
         assert trm[k].period == det[k].period
         assert trm[k].n_tok_clean == det[k].n_tok - det[k].trim_tokens
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", [7, 7, 7, 7]),            # one symbol -> H = 0
+         ("b", [1, 2, 3, 4]),            # uniform   -> H = ln(4)
+         ("c", [5, 5, 6, 6, 6, 9])],     # 2/6, 3/6, 1/6
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in
+           tokens.sequence_token_entropy(df, "tokens", "doc_id").collect()}
+    assert (got["a"].n_tok, got["a"].n_types, got["a"].entropy_nats) == (4, 1, 0.0)
+    assert got["b"].entropy_nats == round(math.log(4), 6)
+    # H = ln(6) - (2*ln2 + 3*ln3)/6, via the same micro-nat quantization
+    s = 2 * round(math.log(2) * 1e6) + 3 * round(math.log(3) * 1e6)
+    assert got["c"].entropy_nats == round(math.log(6) - s / 6e6, 6)
+    assert got["c"].n_types == 3
+
+
+def test_token_entropy_partition_invariant(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    a = tokens.sequence_token_entropy(sequences(spark, 300, 1))
+    b = tokens.sequence_token_entropy(sequences(spark, 300, 13))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_zipf_fit_hand_computed(spark):
+    """An exact power law count = 1000 * rank^-1 must fit slope ~ -1 with
+    r2 ~ 1; the tiny deviation comes only from the integer counts."""
+    from ulp_spark.operators import tokens
+
+    rows = []
+    for t in range(1, 21):                # token t has count 1000 // t
+        rows.extend([(t,)] * (1000 // t))
+    df = spark.createDataFrame(rows, "t int").select(
+        F.array("t").alias("tokens"))
+    r = tokens.zipf_fit(df, "tokens").collect()[0]
+    assert r.n_types == 20
+    assert abs(r.slope - (-1.0)) < 0.01
+    assert r.r2 > 0.9999
+    assert abs(r.intercept_nats - 6.9078) < 0.01   # ln(1000)
+
+
+def test_zipf_fit_degenerate_single_type(spark):
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame([([3, 3, 3],)], "tokens array<int>")
+    r = tokens.zipf_fit(df, "tokens").collect()[0]
+    assert r.n_types == 1
+    assert r.slope is None and r.r2 is None  # den = 0 -> undefined, not NaN
+
+
+def test_cross_source_dup_matrix_hand_computed(spark):
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", [1, 2], "web"), ("b", [1, 2], "books"),
+         ("c", [1, 2], "books"),          # same-source copy: counted once
+         ("d", [3, 4], "web"), ("e", [3, 4], "code"),
+         ("f", [9, 9], "web"),            # unique to web
+         ("g", [1, 2], None)],            # NULL source: excluded
+        "doc_id string, tokens array<int>, source string")
+    got = {(r.source_a, r.source_b): r.n_shared_fps
+           for r in tokens.cross_source_dup_matrix(df).collect()}
+    assert got == {("books", "web"): 1, ("code", "web"): 1}
+
+
+def test_contamination_frac_hand_computed(spark):
+    """k=2 windows: train row 'x' shares 2 of its 3 windows with eval;
+    'y' shares none; 'z' is too short for any window (frac = 0.0)."""
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("e1", [1, 2, 3], "eval"),       # eval grams: (1,2), (2,3)
+         ("x", [1, 2, 3, 9], "train"),    # (1,2) (2,3) (3,9) -> 2/3
+         ("y", [7, 8, 7], "train"),
+         ("z", [5], "train")],
+        "doc_id string, tokens array<int>, source string")
+    got = {r.doc_id: r for r in tokens.contamination_coverage(
+        df, "tokens", "doc_id", F.col("source") == "eval", k=2).collect()}
+    assert set(got) == {"x", "y", "z"}
+    assert (got["x"].n_windows, got["x"].n_contaminated) == (3, 2)
+    assert got["x"].contamination_frac == round(2 / 3, 6)
+    assert (got["y"].n_contaminated, got["y"].contamination_frac) == (0, 0.0)
+    assert (got["z"].n_windows, got["z"].contamination_frac) == (0, 0.0)

@@ -1227,3 +1227,307 @@ def trim_repeated_suffix_sql(
                          ELSE 0 END AS INT) AS period
         FROM (SELECT {id_col}, {tokens_col}, {best} AS b FROM {table})
     """
+
+
+# --------------------------------------------------------------------------
+# corpus statistics on token ids: entropy, Zipf fit, cross-source overlap,
+# contamination coverage
+# --------------------------------------------------------------------------
+
+E5 = 100_000  # ln-value quantization (0.00001 nat) for exact-integer sums
+
+
+def sequence_token_entropy(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence Shannon entropy (nats) of the within-sequence token
+    distribution — the order-blind degenerate-content signal (near-0 =
+    one token repeated; ln(n_tok) = all tokens distinct).  Quality
+    filters band-pass on it exactly like perplexity, but it needs no
+    model table at all.
+
+    Determinism: H = ln(n) - (sum_t c_t*round(ln(c_t)*1e6))/(n*1e6).
+    The inner sum is an exact BIGINT in any aggregation order (the
+    classifier.py / unigram_logprob_table micro-nat move); the outer
+    expression is one double op per row, identical on both engines.
+
+    Scale shape: explode -> groupBy(id, t) with map-side combine -> one
+    more map-side-combined groupBy(id); both shuffles carry counts only,
+    never token payloads.  No vocab table, no join, no window.
+    """
+    ex = df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("t"))
+    cnt = ex.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy(id_col).agg(
+        F.sum("c").cast("int").alias("n_tok"),
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+        F.sum(F.col("c") * F.round(F.log(F.col("c")) * 1e6).cast("bigint"))
+        .cast("bigint").alias("__clogc_micro"),
+    )
+    return per.select(
+        id_col, "n_tok", "n_types",
+        F.round(F.log(F.col("n_tok").cast("double"))
+                - F.col("__clogc_micro") / (F.col("n_tok") * F.lit(1e6)),
+                6).alias("entropy_nats"),
+    )
+
+
+def sequence_token_entropy_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+) -> str:
+    return f"""
+        WITH ex AS (
+          SELECT {id_col} AS id, unnest({tokens_col}) AS t FROM {table}
+        ),
+        cnt AS (SELECT id, t, count(*) AS c FROM ex GROUP BY id, t)
+        SELECT id AS {id_col},
+               sum(c)::INT AS n_tok,
+               count(*)::INT AS n_types,
+               round(ln(sum(c)::DOUBLE)
+                     - sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                       / (sum(c) * 1e6), 6) AS entropy_nats
+        FROM cnt GROUP BY id
+    """
+
+
+def zipf_fit(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency distribution: OLS
+    of ln(count) on ln(rank) -> (n_types, slope, intercept_nats, r2).
+    A healthy natural corpus sits near slope -1; a slope collapsing
+    toward 0 (flat) or below -2 (spiky) is the canonical corpus-health
+    alarm after a bad ingest or dedup bug.
+
+    Determinism: each (rank, count) contributes x = round(ln(rank)*1e5),
+    y = round(ln(count)*1e5) as BIGINTs; per-row products fit int64
+    (ln(1e12)*1e5 squared ~ 7.6e12), and the five regression sums
+    accumulate as DECIMAL(38,0) so they stay exact in any aggregation
+    order even at a 10M-type vocab (where int64 sums would overflow).
+    Products of sums stay in DECIMAL(38,0), and only the final
+    slope/intercept/r2 divisions are doubles — correctly-rounded casts
+    of identical exact integers, so both engines emit identical bits.
+
+    Scale shape: explode -> groupBy(t) collapses the corpus to <= |V|
+    rows before anything else; the rank row_number is a single-partition
+    window over that VOCAB-BOUNDED table (<= ~1e7 rows, metadata scale
+    at any corpus size) — bounded by construction, unlike the
+    corpus-scale SinglePartition the prefix-sum machinery exists to
+    avoid.  Output is ONE row.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        df.select(F.explode(F.col(tokens_col)).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    ranked = cnt.select(
+        F.row_number().over(
+            Window.orderBy(F.col("n_t").desc(), F.col("t").asc())
+        ).alias("r"),
+        "n_t",
+    ).select(
+        F.round(F.log(F.col("r").cast("double")) * E5)
+        .cast("bigint").alias("x"),
+        F.round(F.log(F.col("n_t").cast("double")) * E5)
+        .cast("bigint").alias("y"),
+    )
+    dec38 = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec38)).alias("sx"),
+        F.sum(F.col("y").cast(dec38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec38)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec38)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec38)).alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    n_, sx, sy = [F.col(c).cast(dec) for c in ("n", "sx", "sy")]
+    sxx, sxy, syy = [F.col(c).cast(dec) for c in ("sxx", "sxy", "syy")]
+    num = (n_ * sxy - sx * sy).cast("double")
+    den = (n_ * sxx - sx * sx).cast("double")
+    deny = (n_ * syy - sy * sy).cast("double")
+    slope = F.col("__num") / F.col("__den")
+    return (
+        s.select("n", num.alias("__num"), den.alias("__den"),
+                 deny.alias("__deny"), sy.cast("double").alias("__sy"),
+                 sx.cast("double").alias("__sx"))
+        .select(
+            F.col("n").cast("int").alias("n_types"),
+            F.when(F.col("__den") > 0, F.round(slope, 6))
+            .alias("slope"),
+            F.when(F.col("__den") > 0, F.round(
+                (F.col("__sy") - slope * F.col("__sx"))
+                / (F.col("n") * E5), 6)).alias("intercept_nats"),
+            F.when((F.col("__den") > 0) & (F.col("__deny") > 0), F.round(
+                F.col("__num") * F.col("__num")
+                / (F.col("__den") * F.col("__deny")), 6)).alias("r2"),
+        )
+    )
+
+
+def zipf_fit_sql(table: str, tokens_col: str = "tokens") -> str:
+    return f"""
+        WITH ex AS (SELECT unnest({tokens_col}) AS t FROM {table}),
+        cnt AS (SELECT t, count(*) AS n_t FROM ex GROUP BY t),
+        ranked AS (
+          SELECT CAST(round(ln(row_number() OVER
+                    (ORDER BY n_t DESC, t ASC)) * {E5}) AS BIGINT) AS x,
+                 CAST(round(ln(n_t) * {E5}) AS BIGINT) AS y
+          FROM cnt
+        ),
+        s AS (
+          SELECT count(*)::BIGINT AS n,
+                 CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                 CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+                 CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy,
+                 CAST(sum(y*y) AS DECIMAL(38,0)) AS syy
+          FROM ranked
+        ),
+        d AS (
+          SELECT n,
+            CAST(n::DECIMAL(38,0) * sxy - sx::DECIMAL(38,0) * sy
+                 AS DOUBLE) AS num,
+            CAST(n::DECIMAL(38,0) * sxx - sx::DECIMAL(38,0) * sx
+                 AS DOUBLE) AS den,
+            CAST(n::DECIMAL(38,0) * syy - sy::DECIMAL(38,0) * sy
+                 AS DOUBLE) AS deny,
+            sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+          FROM s
+        )
+        SELECT n::INT AS n_types,
+               CASE WHEN den > 0 THEN round(num / den, 6) END AS slope,
+               CASE WHEN den > 0 THEN round(
+                 (syd - (num / den) * sxd) / (n * {E5}), 6)
+               END AS intercept_nats,
+               CASE WHEN den > 0 AND deny > 0 THEN round(
+                 num * num / (den * deny), 6)
+               END AS r2
+        FROM d
+    """
+
+
+def cross_source_dup_matrix(
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+) -> DataFrame:
+    """Which sources duplicate which: per unordered source pair, how many
+    DISTINCT token-array fingerprints occur in both.  The crawl-overlap
+    report a multi-source ingest runs before choosing dedup priority
+    (e.g. CommonCrawl-vs-C4 overlap in the Pile/Dolma writeups).
+
+    NULL sources are excluded (they have no pair identity).
+
+    Scale shape: distinct (fp, source) collapses each source's copies
+    map-side (<= |sources| rows per fingerprint survive); the self-join
+    key is the 16-byte fp with per-key multiplicity <= |sources| — no
+    skew amplification possible; the pair aggregate is |sources|^2
+    rows.  Token payloads never shuffle (fp is computed in the scan
+    projection).
+    """
+    fs = (
+        df.filter(F.col(source_col).isNotNull())
+        .select(token_fingerprint(F.col(tokens_col)).alias("fp"),
+                F.col(source_col).alias("s"))
+        .distinct()
+    )
+    fs = seam(fs)  # both join sides read the one distinct pass
+    a = fs.select("fp", F.col("s").alias("source_a"))
+    b = fs.select("fp", F.col("s").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+def cross_source_dup_matrix_sql(
+    table: str, tokens_col: str = "tokens", source_col: str = "source",
+) -> str:
+    return f"""
+        WITH fs AS (
+          SELECT DISTINCT {token_fingerprint_sql(tokens_col)} AS fp,
+                 {source_col} AS s
+          FROM {table} WHERE {source_col} IS NOT NULL
+        )
+        SELECT a.s AS source_a, b.s AS source_b,
+               count(*) AS n_shared_fps
+        FROM fs a JOIN fs b ON a.fp = b.fp AND a.s < b.s
+        GROUP BY a.s, b.s
+    """
+
+
+def contamination_coverage(
+    df: DataFrame, tokens_col: str, id_col: str,
+    eval_pred: Column, k: int = GRAM,
+) -> DataFrame:
+    """Graded decontamination (the Llama-3 'dirty fraction' form): for
+    each TRAIN sequence, the fraction of its k-token windows that appear
+    anywhere in the eval split — so callers threshold (e.g. drop > 0.8,
+    keep < 0.1, audit between) instead of the binary any-hit flag
+    token_contamination gives.
+
+    Rows shorter than k have no windows; they report n_windows = 0 and
+    contamination_frac = 0.0 (nothing to leak).
+
+    Scale shape: identical to token_contamination — eval gram keys are
+    distinct-collapsed and broadcast; the train side keeps its
+    partitioning through explode -> broadcast-mark -> groupBy(id) with
+    map-side combine.  One corpus-scale shuffle (the per-id collapse).
+    """
+    grams = token_grams(F.col(tokens_col), k)
+    sides = df.select(F.col(id_col), eval_pred.alias("is_eval"),
+                      F.explode(grams).alias("gk"))
+    eval_grams = sides.filter("is_eval").select("gk").distinct()
+    train = sides.filter(~F.col("is_eval"))
+    marked = train.join(
+        F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "gk", "left")
+    per = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("int")
+        .alias("n_contaminated"),
+    )
+    train_ids = df.filter(~eval_pred).select(id_col)
+    return (
+        train_ids.join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .alias("n_contaminated"),
+            F.when(F.coalesce(F.col("n_windows"), F.lit(0)) > 0, F.round(
+                F.col("n_contaminated") / F.col("n_windows").cast("double"),
+                6)).otherwise(F.lit(0.0)).alias("contamination_frac"),
+        )
+    )
+
+
+def contamination_coverage_sql(
+    table: str, tokens_col: str, id_col: str,
+    eval_pred_sql: str, k: int = GRAM,
+) -> str:
+    grams = token_grams_sql(tokens_col, k)
+    return f"""
+        WITH sides AS (
+          SELECT {id_col}, ({eval_pred_sql}) AS is_eval,
+                 unnest({grams}) AS gk
+          FROM {table}
+        ),
+        eval_g AS (SELECT DISTINCT gk FROM sides WHERE is_eval),
+        per AS (
+          SELECT s.{id_col},
+                 count(*)::INT AS n_windows,
+                 sum(CASE WHEN e.gk IS NOT NULL THEN 1 ELSE 0 END)::INT
+                   AS n_contaminated
+          FROM sides s LEFT JOIN eval_g e USING (gk)
+          WHERE NOT s.is_eval
+          GROUP BY s.{id_col}
+        )
+        SELECT t.{id_col},
+               coalesce(p.n_windows, 0) AS n_windows,
+               coalesce(p.n_contaminated, 0) AS n_contaminated,
+               CASE WHEN coalesce(p.n_windows, 0) > 0
+                    THEN round(p.n_contaminated / p.n_windows::DOUBLE, 6)
+                    ELSE 0.0 END AS contamination_frac
+        FROM (SELECT {id_col} FROM {table}
+              WHERE NOT ({eval_pred_sql})) t
+        LEFT JOIN per p USING ({id_col})
+    """
