@@ -941,6 +941,21 @@ def _q_seq_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "tokens", "doc_id", F.col("source") == "wiki")
 
 
+_GROWTH_CHECKPOINTS = [1_000, 10_000, 100_000, 1_000_000, 3_000_000]
+
+
+def _q_seq_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct token types within the
+    first c corpus tokens (doc_id order), per checkpoint — the
+    tokenizer-sizing report.  Positions via the one-exchange distributed
+    prefix sum; the checkpoint join is vocab-bounded x 5."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.vocab_growth(seq, "tokens", "doc_id",
+                               _GROWTH_CHECKPOINTS)
+
+
 def _q_corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP composition — the full text -> training-batches story as
     ONE plan: tokenize (mapInPandas, broadcast vocab, zero shuffles) ->
@@ -1203,6 +1218,7 @@ _PYTEST_ONLY = frozenset({
     "seq_zipf_fit",
     "seq_cross_source_dups",
     "seq_contamination_frac",
+    "seq_vocab_growth",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1299,6 +1315,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_zipf_fit": _q_seq_zipf_fit,
         "seq_cross_source_dups": _q_seq_cross_source_dups,
         "seq_contamination_frac": _q_seq_contamination_frac,
+        "seq_vocab_growth": _q_seq_vocab_growth,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1484,6 +1501,14 @@ def _cross_source_dups_sql() -> str:
                            WHEN 'wiki' THEN 'web' END AS source
         FROM ({base}) WHERE seq_no % 10 = 0)"""
     return tokens.cross_source_dup_matrix_sql(aug, "tokens", "source")
+
+
+def _vocab_growth_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.vocab_growth_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
+        _GROWTH_CHECKPOINTS)
 
 
 def _contamination_frac_sql() -> str:
@@ -2069,6 +2094,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_zipf_fit": _zipf_fit_sql(),
         "seq_cross_source_dups": _cross_source_dups_sql(),
         "seq_contamination_frac": _contamination_frac_sql(),
+        "seq_vocab_growth": _vocab_growth_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

@@ -2503,3 +2503,30 @@ def test_contamination_frac_hand_computed(spark):
     assert got["x"].contamination_frac == round(2 / 3, 6)
     assert (got["y"].n_contaminated, got["y"].contamination_frac) == (0, 0.0)
     assert (got["z"].n_windows, got["z"].contamination_frac) == (0, 0.0)
+
+
+def test_vocab_growth_hand_computed(spark):
+    """doc order a,b,c -> token stream [1,2,1][3][1,4,5]; first-seen
+    positions: 1->0, 2->1, 3->3, 4->5, 5->6."""
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 1]), ("c", [1, 4, 5]), ("b", [3])],
+        "doc_id string, tokens array<int>")
+    got = {r.checkpoint: r.n_types for r in tokens.vocab_growth(
+        df, "tokens", "doc_id", [1, 2, 4, 7, 100]).collect()}
+    assert got == {1: 1, 2: 2, 4: 3, 7: 5, 100: 5}
+
+
+def test_vocab_growth_partition_invariant_and_validation(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    cps = [100, 10_000]
+    a = tokens.vocab_growth(sequences(spark, 200, 1), checkpoints=cps)
+    b = tokens.vocab_growth(sequences(spark, 200, 7), checkpoints=cps)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError):
+        tokens.vocab_growth(sequences(spark, 10), checkpoints=[])
+    with pytest.raises(ValueError):
+        tokens.vocab_growth(sequences(spark, 10), checkpoints=[5, 5])

@@ -1531,3 +1531,78 @@ def contamination_coverage_sql(
               WHERE NOT ({eval_pred_sql})) t
         LEFT JOIN per p USING ({id_col})
     """
+
+
+def vocab_growth(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    checkpoints: list[int] | None = None,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct token types seen
+    within the first ``c`` tokens of the corpus (in ``id_col`` order),
+    for each checkpoint ``c`` — the tokenizer-sizing / corpus-diversity
+    report (a curve that flattens early means the tail of the corpus
+    adds no new vocabulary).
+
+    Scale shape: global token positions come from packing.global_cumsum
+    (ONE full-data exchange, no SinglePartition stage); the posexplode
+    collapses map-side to one (token, min position) row per type, so the
+    only other corpus-scale shuffle carries (t, p) pairs; the checkpoint
+    cross join runs on the VOCAB-BOUNDED first-seen table against a
+    broadcast literal frame.  Token payloads never shuffle.
+
+    Returns (checkpoint, n_types), one row per checkpoint (0 when the
+    corpus is shorter than every checkpoint start; empty only for an
+    empty corpus).
+    """
+    from ulp_spark.operators.packing import global_cumsum
+
+    if not checkpoints:
+        raise ValueError("checkpoints must be a non-empty list of ints")
+    if sorted(set(checkpoints)) != sorted(checkpoints):
+        raise ValueError("checkpoints must be distinct")
+    toks = F.col(tokens_col)
+    off = global_cumsum(
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks")),
+        id_col, "__n")
+    ex = off.select(
+        F.col("tok_offset"),
+        F.posexplode(F.col("__toks")).alias("pos", "t"),
+    ).select("t", (F.col("tok_offset") + F.col("pos")).alias("p"))
+    first = ex.groupBy("t").agg(F.min("p").alias("fp"))
+    cp = df.sparkSession.createDataFrame(
+        [(int(c),) for c in checkpoints], "checkpoint bigint")
+    return (
+        first.crossJoin(F.broadcast(cp))
+        .groupBy("checkpoint")
+        .agg(F.sum(F.when(F.col("fp") < F.col("checkpoint"), 1)
+                   .otherwise(0)).cast("int").alias("n_types"))
+    )
+
+
+def vocab_growth_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    checkpoints: list[int] | None = None,
+) -> str:
+    cps = ", ".join(str(int(c)) for c in (checkpoints or []))
+    return f"""
+        WITH off AS (
+          SELECT {tokens_col} AS toks,
+                 sum(len({tokens_col})) OVER (ORDER BY {id_col}
+                   ROWS UNBOUNDED PRECEDING) - len({tokens_col})
+                 AS tok_offset
+          FROM {table}
+        ),
+        ex AS (
+          SELECT unnest(toks) AS t,
+                 tok_offset + unnest([j FOR j IN range(len(toks))]) AS p
+          FROM off
+        ),
+        first AS (SELECT t, min(p) AS fp FROM ex GROUP BY t),
+        cp AS (SELECT unnest([{cps}]) AS checkpoint)
+        SELECT cp.checkpoint,
+               sum(CASE WHEN f.fp < cp.checkpoint THEN 1 ELSE 0 END)::INT
+                 AS n_types
+        FROM cp CROSS JOIN first f
+        GROUP BY cp.checkpoint
+    """
