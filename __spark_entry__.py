@@ -941,6 +941,28 @@ def _q_seq_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "tokens", "doc_id", F.col("source") == "wiki")
 
 
+def _q_seq_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level NEAR-dup candidates (MinHash+LSH over 8-token windows)
+    — the gap between sequence_exact_dedup (bitwise) and the text-side
+    near-dup stack (pre-tokenization).  The fixture stream has no natural
+    near-dups, so every 20th row is re-emitted with only its LAST token
+    changed (identically in both engines): ~97% of windows shared."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, 2_500)
+    near = (
+        seq.filter((F.col("seq_no") % 20 == 0) & (F.col("n_tok") >= 8))
+        .select(
+            F.concat(F.col("doc_id"), F.lit("-near")).alias("doc_id"),
+            F.concat(
+                F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
+                F.array((F.element_at(F.col("tokens"), -1) + 1)
+                        .cast("int"))).alias("tokens"))
+    )
+    aug = seq.select("doc_id", "tokens").unionAll(near)
+    return tokens.sequence_minhash_candidates(aug, "tokens", "doc_id")
+
+
 _GROWTH_CHECKPOINTS = [1_000, 10_000, 100_000, 1_000_000, 3_000_000]
 
 
@@ -1219,6 +1241,7 @@ _PYTEST_ONLY = frozenset({
     "seq_cross_source_dups",
     "seq_contamination_frac",
     "seq_vocab_growth",
+    "seq_minhash_candidates",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1316,6 +1339,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_cross_source_dups": _q_seq_cross_source_dups,
         "seq_contamination_frac": _q_seq_contamination_frac,
         "seq_vocab_growth": _q_seq_vocab_growth,
+        "seq_minhash_candidates": _q_seq_minhash_candidates,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1501,6 +1525,22 @@ def _cross_source_dups_sql() -> str:
                            WHEN 'wiki' THEN 'web' END AS source
         FROM ({base}) WHERE seq_no % 10 = 0)"""
     return tokens.cross_source_dup_matrix_sql(aug, "tokens", "source")
+
+
+def _seq_minhash_sql() -> str:
+    """The changed-last-token union twin of _q_seq_minhash_candidates."""
+    from ulp_spark.operators import tokens
+
+    base = fixtures.sequences_sql(2_500)
+    aug = f"""(
+        SELECT doc_id, tokens FROM ({base})
+        UNION ALL
+        SELECT doc_id || '-near' AS doc_id,
+               tokens[1 : len(tokens) - 1]
+                 || [CAST(tokens[-1] + 1 AS INTEGER)] AS tokens
+        FROM ({base})
+        WHERE seq_no % 20 = 0 AND n_tok >= 8)"""
+    return tokens.sequence_minhash_candidates_sql(aug, "tokens", "doc_id")
 
 
 def _vocab_growth_sql() -> str:
@@ -2095,6 +2135,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_cross_source_dups": _cross_source_dups_sql(),
         "seq_contamination_frac": _contamination_frac_sql(),
         "seq_vocab_growth": _vocab_growth_sql(),
+        "seq_minhash_candidates": _seq_minhash_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

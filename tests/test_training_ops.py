@@ -2530,3 +2530,33 @@ def test_vocab_growth_partition_invariant_and_validation(spark):
         tokens.vocab_growth(sequences(spark, 10), checkpoints=[])
     with pytest.raises(ValueError):
         tokens.vocab_growth(sequences(spark, 10), checkpoints=[5, 5])
+
+
+def test_sequence_minhash_identical_and_near(spark):
+    from ulp_spark.operators import tokens
+
+    base = list(range(100, 150))          # 50 tokens -> 43 windows
+    near = base[:-1] + [999]              # one-token edit
+    other = list(range(5000, 5050))
+    df = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", near), ("d", other),
+         ("s1", [1, 2]), ("s2", [1, 2])],  # < k: excluded, never paired
+        "doc_id string, tokens array<int>")
+    pairs = {(r.id_a, r.id_b) for r in
+             tokens.sequence_minhash_candidates(df).collect()}
+    assert ("a", "b") in pairs            # identical always collides
+    assert not any("s1" in p or "s2" in p for p in pairs)
+    assert not any("d" in p for p in pairs)
+
+
+def test_token_shingle_hashes_short_rows_empty(spark):
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", list(range(8)))],
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id",
+        F.size(tokens.token_shingle_hashes(F.col("tokens"))).alias("n"),
+    ).collect()}
+    assert got == {"a": 0, "b": 1}

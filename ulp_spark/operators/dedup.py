@@ -147,9 +147,22 @@ def minhash_candidates(
     degenerate bucket — e.g. millions of empty-text docs sharing one
     signature — in one buffer before dropping it: an OOM at 100 TB.)
     """
+    return minhash_candidates_from_hashes(
+        df, shingle_hashes(F.col(text_col)), id_col, max_bucket,
+        materialize)
+
+
+def minhash_candidates_from_hashes(
+    df: DataFrame, hashes: Column, id_col: str, max_bucket: int = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """The minhash_candidates engine over a caller-supplied shingle-hash
+    set column — so token-id shingles (tokens.sequence_minhash_candidates)
+    and character shingles share one banding/bucket-cap/pair-join
+    implementation instead of drifting copies."""
     sig = df.select(
         F.col(id_col).alias("id"),
-        *[c for c in minhash_signature(shingle_hashes(F.col(text_col)))],
+        *[c for c in minhash_signature(hashes)],
     )
     sig = sig.select("id", *band_keys([F.col(f"mh_{j}") for j in range(len(HASHES))]))
     bands = sig.select(
@@ -197,6 +210,14 @@ def minhash_candidates_sql(
     table: str, text_col: str, id_col: str, max_bucket: int = 1000
 ) -> str:
     """DuckDB twin of :func:`minhash_candidates` (band self-join)."""
+    return minhash_candidates_from_hashes_sql(
+        table, shingle_hashes_sql(text_col), id_col, max_bucket)
+
+
+def minhash_candidates_from_hashes_sql(
+    table: str, hashes_sql: str, id_col: str, max_bucket: int = 1000
+) -> str:
+    """DuckDB twin of :func:`minhash_candidates_from_hashes`."""
     sig_exprs = minhash_signature_sql("hashes")
     bands_sel = " UNION ALL ".join(
         f"SELECT {id_col} AS id, {b} AS band, {key} AS bk FROM sh"
@@ -204,7 +225,7 @@ def minhash_candidates_sql(
     )
     return f"""
     WITH sh AS (
-      SELECT {id_col}, {shingle_hashes_sql(text_col)} AS hashes FROM {table}
+      SELECT {id_col}, {hashes_sql} AS hashes FROM {table}
     ),
     bands AS ({bands_sel}),
     ok AS (

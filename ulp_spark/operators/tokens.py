@@ -1606,3 +1606,72 @@ def vocab_growth_sql(
         FROM cp CROSS JOIN first f
         GROUP BY cp.checkpoint
     """
+
+
+def token_shingle_hashes(tokens: Column, k: int = GRAM) -> Column:
+    """Distinct sorted 32-bit hashes of the k-token windows — the token-id
+    analog of dedup.shingle_hashes (same md5-fold, same int64 range), so
+    the MinHash machinery applies unchanged to pre-tokenized sequences.
+    Rows shorter than k yield an empty array."""
+    from ulp_spark.operators.dedup import _md5_bigint
+
+    n = F.size(tokens)
+    csvs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda j: F.concat_ws(",", F.transform(
+                F.slice(tokens, j, k), lambda t: t.cast("string"))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(
+        F.transform(csvs, lambda c: _md5_bigint(c))))
+
+
+def token_shingle_hashes_sql(tokens: str, k: int = GRAM) -> str:
+    return (
+        f"list_sort(list_distinct([CAST(('0x' || substr(md5("
+        f"array_to_string({tokens}[j:j+{k - 1}], ',')), 1, 8)) AS BIGINT) "
+        f"FOR j IN range(1, greatest(len({tokens}) - {k - 1}, 0) + 1)]))"
+    )
+
+
+def sequence_minhash_candidates(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    k: int = GRAM, max_bucket: int = 1000,
+) -> DataFrame:
+    """NEAR-duplicate sequence candidates on TOKEN IDS — MinHash+LSH over
+    k-token windows, closing the gap between sequence_exact_dedup
+    (bitwise only) and the text-side near-dup stack (pre-tokenization
+    only).  A sequence re-tokenized after a small edit, or truncated a
+    few tokens differently, shares almost all its windows and lands in
+    the same band buckets.
+
+    Sequences shorter than k have NO windows and are excluded up front —
+    an empty shingle set carries no content evidence, and keeping the
+    text-side sentinel signature here would weld every short sequence
+    into one giant all-pairs bucket.
+
+    Scale shape: delegates to dedup.minhash_candidates_from_hashes — the
+    seamed band table, count-aggregate bucket cap BEFORE any pair
+    materialization, and equi-self-join are shared code, not a copy.
+    """
+    from ulp_spark.operators.dedup import minhash_candidates_from_hashes
+
+    toks = F.col(tokens_col)
+    eligible = df.filter(F.size(toks) >= k)
+    return minhash_candidates_from_hashes(
+        eligible, token_shingle_hashes(toks, k), id_col, max_bucket)
+
+
+def sequence_minhash_candidates_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    k: int = GRAM, max_bucket: int = 1000,
+) -> str:
+    from ulp_spark.operators.dedup import minhash_candidates_from_hashes_sql
+
+    eligible = (f"(SELECT * FROM {table} "
+                f"WHERE len({tokens_col}) >= {k})")
+    return minhash_candidates_from_hashes_sql(
+        eligible, token_shingle_hashes_sql(tokens_col, k), id_col,
+        max_bucket)
