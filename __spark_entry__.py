@@ -963,6 +963,19 @@ def _q_seq_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.sequence_minhash_candidates(aug, "tokens", "doc_id")
 
 
+def _q_doc_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum composition: classifier quality logits (integer
+    centi-units — exact sort keys) -> global easy-first rank + 4 equal
+    stages via the distributed prefix sum.  The ordered-training
+    complement of the epoch shuffle."""
+    from ulp_spark.operators import classifier, tokens
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    scored = classifier.linear_quality_score(d, "text", "doc_id")
+    return tokens.curriculum_stages(
+        scored.select("doc_id", "score_centi"), "score_centi", "doc_id", 4)
+
+
 _GROWTH_CHECKPOINTS = [1_000, 10_000, 100_000, 1_000_000, 3_000_000]
 
 
@@ -1242,6 +1255,7 @@ _PYTEST_ONLY = frozenset({
     "seq_contamination_frac",
     "seq_vocab_growth",
     "seq_minhash_candidates",
+    "doc_curriculum_stages",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1340,6 +1354,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_contamination_frac": _q_seq_contamination_frac,
         "seq_vocab_growth": _q_seq_vocab_growth,
         "seq_minhash_candidates": _q_seq_minhash_candidates,
+        "doc_curriculum_stages": _q_doc_curriculum_stages,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1549,6 +1564,16 @@ def _vocab_growth_sql() -> str:
     return tokens.vocab_growth_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
         _GROWTH_CHECKPOINTS)
+
+
+def _curriculum_sql() -> str:
+    from ulp_spark.operators import classifier, tokens
+
+    scored = classifier.linear_quality_score_sql(
+        "documents", "text", "doc_id")
+    return tokens.curriculum_stages_sql(
+        f"(SELECT doc_id, score_centi FROM ({scored}))",
+        "score_centi", "doc_id", 4)
 
 
 def _contamination_frac_sql() -> str:
@@ -2136,6 +2161,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_contamination_frac": _contamination_frac_sql(),
         "seq_vocab_growth": _vocab_growth_sql(),
         "seq_minhash_candidates": _seq_minhash_sql(),
+        "doc_curriculum_stages": _curriculum_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

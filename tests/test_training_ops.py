@@ -2560,3 +2560,34 @@ def test_token_shingle_hashes_short_rows_empty(spark):
         F.size(tokens.token_shingle_hashes(F.col("tokens"))).alias("n"),
     ).collect()}
     assert got == {"a": 0, "b": 1}
+
+
+def test_curriculum_stages_hand_computed(spark):
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", 30), ("b", 10), ("c", 20), ("d", -5), ("e", 10), ("f", 40)],
+        "doc_id string, score int")
+    got = {r.doc_id: (r.curriculum_rank, r.stage) for r in
+           tokens.curriculum_stages(df, "score", "doc_id", 3).collect()}
+    # ascending order: d(-5) b(10) e(10) c(20) a(30) f(40); tie b<e by id
+    assert got == {"d": (0, 0), "b": (1, 0), "e": (2, 1),
+                   "c": (3, 1), "a": (4, 2), "f": (5, 2)}
+    desc = {r.doc_id: r.curriculum_rank for r in tokens.curriculum_stages(
+        df, "score", "doc_id", 3, ascending=False).collect()}
+    assert desc["f"] == 0 and desc["d"] == 5
+
+
+def test_curriculum_stages_partition_invariant_and_validation(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    a = tokens.curriculum_stages(
+        sequences(spark, 300, 1).select("doc_id", "n_tok"),
+        "n_tok", "doc_id", 5)
+    b = tokens.curriculum_stages(
+        sequences(spark, 300, 11).select("doc_id", "n_tok"),
+        "n_tok", "doc_id", 5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError):
+        tokens.curriculum_stages(sequences(spark, 10), "n_tok", "doc_id", 0)

@@ -1675,3 +1675,77 @@ def sequence_minhash_candidates_sql(
     return minhash_candidates_from_hashes_sql(
         eligible, token_shingle_hashes_sql(tokens_col, k), id_col,
         max_bucket)
+
+
+_CURR_OFFSET = 10 ** 18  # shifts any plausible integer score non-negative
+
+
+def curriculum_stages(
+    df: DataFrame, score_col: str, id_col: str, n_stages: int,
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum assignment: global rank by an INTEGER difficulty score
+    (easy-first when ``ascending``) and an equal-width stage index in
+    [0, n_stages) — the ordered-training complement of epoch_order's
+    keyed shuffle.  Stage boundaries are exact (stage = rank*n//total),
+    so stage populations differ by at most one row.
+
+    The score must be an integer column (|score| < 10^18): integer keys
+    make the order engine-exact — float scores should be quantized by
+    the producer (classifier.linear_quality_score's score_centi is
+    already integer for exactly this reason).  Ties beyond (score, id)
+    cannot occur because ids are unique; equal scores order by id.
+
+    Scale shape: the rank is packing.global_cumsum over ones on a
+    zero-padded composite key (the balanced_writers pattern — ONE
+    full-data exchange, no single-partition window); the corpus total
+    rides a 1-row broadcast crossJoin; the stage derives by pure integer
+    arithmetic.
+    """
+    from ulp_spark.operators.packing import global_cumsum
+
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    s = F.col(score_col).cast("bigint")
+    keyval = (s if ascending else -s) + F.lit(_CURR_OFFSET)
+    guarded = F.when(
+        (keyval >= 0) & (keyval < 2 * _CURR_OFFSET), keyval
+    ).otherwise(F.raise_error(F.lit(
+        "curriculum_stages: |score| must be < 10^18")))
+    key = F.format_string("%020d|%s", guarded, F.col(id_col).cast("string"))
+    keyed = df.select(F.col(id_col), F.col(score_col),
+                      key.alias("__cu_key")).withColumn("__one", F.lit(1))
+    ranked = global_cumsum(keyed, "__cu_key", "__one",
+                           out_col="curriculum_rank")
+    tot = keyed.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            id_col, score_col,
+            F.col("curriculum_rank").cast("bigint"),
+            F.expr(f"CAST((curriculum_rank * {n_stages}) DIV __total "
+                   "AS INT)").alias("stage"),
+        )
+    )
+
+
+def curriculum_stages_sql(
+    table: str, score_col: str, id_col: str, n_stages: int,
+    ascending: bool = True,
+) -> str:
+    sign = "" if ascending else "-"
+    key = (f"printf('%020d|%s', {sign}{score_col}::BIGINT "
+           f"+ {_CURR_OFFSET}, {id_col}::VARCHAR)")
+    return f"""
+        WITH r AS (
+          SELECT {id_col}, {score_col},
+                 row_number() OVER (ORDER BY {key}) - 1
+                   AS curriculum_rank,
+                 count(*) OVER () AS total
+          FROM {table}
+        )
+        SELECT {id_col}, {score_col},
+               curriculum_rank::BIGINT AS curriculum_rank,
+               ((curriculum_rank * {n_stages}) // total)::INT AS stage
+        FROM r
+    """
