@@ -976,6 +976,18 @@ def _q_doc_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "score_centi"), "score_centi", "doc_id", 4)
 
 
+def _q_seq_mixed_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the temperature mixing plan (learn->apply, like BPE
+    train->tokenize): materialized mixed-epoch membership — one row per
+    pass each sequence takes; unconditional copies + md5-deterministic
+    fractional tail.  Plan broadcast; no shuffle beyond it."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.apply_mixing_plan(
+        seq, "n_tok", "source", "doc_id", alpha=0.5, budget=2_000_000)
+
+
 _GROWTH_CHECKPOINTS = [1_000, 10_000, 100_000, 1_000_000, 3_000_000]
 
 
@@ -1256,6 +1268,7 @@ _PYTEST_ONLY = frozenset({
     "seq_vocab_growth",
     "seq_minhash_candidates",
     "doc_curriculum_stages",
+    "seq_mixed_epoch",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1355,6 +1368,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_vocab_growth": _q_seq_vocab_growth,
         "seq_minhash_candidates": _q_seq_minhash_candidates,
         "doc_curriculum_stages": _q_doc_curriculum_stages,
+        "seq_mixed_epoch": _q_seq_mixed_epoch,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1564,6 +1578,14 @@ def _vocab_growth_sql() -> str:
     return tokens.vocab_growth_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
         _GROWTH_CHECKPOINTS)
+
+
+def _mixed_epoch_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.apply_mixing_plan_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "source",
+        "doc_id", alpha=0.5, budget=2_000_000)
 
 
 def _curriculum_sql() -> str:
@@ -2162,6 +2184,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_vocab_growth": _vocab_growth_sql(),
         "seq_minhash_candidates": _seq_minhash_sql(),
         "doc_curriculum_stages": _curriculum_sql(),
+        "seq_mixed_epoch": _mixed_epoch_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

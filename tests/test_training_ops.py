@@ -2591,3 +2591,45 @@ def test_curriculum_stages_partition_invariant_and_validation(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     with pytest.raises(ValueError):
         tokens.curriculum_stages(sequences(spark, 10), "n_tok", "doc_id", 0)
+
+
+def test_apply_mixing_plan_reconstructs_budget(spark):
+    """The materialized epoch's token mass per source must equal the
+    plan's full-epoch mass plus a tail within binomial range, and
+    unconditional copies must appear for EVERY sequence."""
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    seq = sequences(spark, 1_000)
+    plan = {r.source: r for r in tokens.source_mixing_plan(
+        seq, "n_tok", "source", alpha=0.3, budget=500_000).collect()}
+    mixed = tokens.apply_mixing_plan(
+        seq, "n_tok", "source", "doc_id", alpha=0.3, budget=500_000)
+    per = mixed.groupBy("source", "doc_id").count()
+    counts = {(r.source, r.doc_id): r["count"] for r in per.collect()}
+    n_rows = {s: 0 for s in plan}
+    for r in seq.select("doc_id", "source").collect():
+        if r.source is None:
+            assert (r.source, r.doc_id) not in counts
+            continue
+        n_rows[r.source] += 1
+        p = plan[r.source]
+        c = counts.get((r.source, r.doc_id), 0)
+        assert c in (p.n_epochs, p.n_epochs + 1)
+    # tail admission rate ~ tail_frac per source (loose 3-sigma band)
+    tails = {s: 0 for s in plan}
+    for (s, _d), c in counts.items():
+        tails[s] += c - plan[s].n_epochs
+    for s, p in plan.items():
+        n = n_rows[s]
+        sd = (n * p.tail_frac * (1 - p.tail_frac)) ** 0.5
+        assert abs(tails[s] - n * p.tail_frac) <= 3 * sd + 1
+
+
+def test_apply_mixing_plan_partition_invariant(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    a = tokens.apply_mixing_plan(sequences(spark, 400, 1), budget=300_000)
+    b = tokens.apply_mixing_plan(sequences(spark, 400, 9), budget=300_000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

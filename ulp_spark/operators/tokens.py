@@ -1749,3 +1749,78 @@ def curriculum_stages_sql(
                ((curriculum_rank * {n_stages}) // total)::INT AS stage
         FROM r
     """
+
+
+def apply_mixing_plan(
+    df: DataFrame, n_tok_col: str = "n_tok", source_col: str = "source",
+    id_col: str = "doc_id", alpha: float = 0.5,
+    budget: int = 1_000_000_000, seed: str = "mix0",
+) -> DataFrame:
+    """EXECUTE source_mixing_plan (the learn->apply move, same as
+    BPE train->tokenize): materialize the mixed-epoch membership —
+    (id, source, epoch_copy, is_tail), one row per pass each sequence
+    takes in the temperature-mixed training epoch.  Copies 0..n_epochs-1
+    are unconditional; the fractional tail admits copy n_epochs iff a
+    deterministic md5 uniform (sampling._uniform01 — 52-bit, exactly
+    representable, partition-invariant) falls under the plan's
+    tail_frac.  NULL-source rows have no plan identity and are excluded
+    (join on source), exactly as in the plan itself.
+
+    Scale shape: the plan is |sources| rows and broadcast-joins; the
+    copy explode is bounded by n_epochs+1 per row (the temperature
+    up-weight, single digits by construction since q <= 1 concentrates
+    budget); no shuffle beyond the broadcast — output co-partitions
+    with the corpus.  The descending-sequence trap (sequence(0,-1)
+    counts DOWN) is gated: n_copies = 0 rows emit an empty array.
+    """
+    from ulp_spark.operators.sampling import _uniform01
+
+    plan = source_mixing_plan(df, n_tok_col, source_col,
+                              alpha=alpha, budget=budget)
+    j = df.select(F.col(id_col), F.col(source_col)).join(
+        F.broadcast(plan.select(
+            F.col("source").alias(source_col), "n_epochs", "tail_frac")),
+        source_col)
+    n_copies = (F.col("n_epochs")
+                + F.when(_uniform01(F.col(id_col), seed)
+                         < F.col("tail_frac"), 1).otherwise(0))
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0).cast("bigint"), n_copies - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        j.withColumn("__copies", copies)
+        .select(
+            id_col, source_col, F.col("n_epochs"),
+            F.explode(F.col("__copies")).alias("epoch_copy"),
+        )
+        .select(
+            id_col, source_col,
+            F.col("epoch_copy").cast("int").alias("epoch_copy"),
+            (F.col("epoch_copy") == F.col("n_epochs")).alias("is_tail"),
+        )
+    )
+
+
+def apply_mixing_plan_sql(
+    table: str, n_tok_col: str = "n_tok", source_col: str = "source",
+    id_col: str = "doc_id", alpha: float = 0.5,
+    budget: int = 1_000_000_000, seed: str = "mix0",
+) -> str:
+    from ulp_spark.operators.sampling import _uniform01_sql
+
+    plan = source_mixing_plan_sql(table, n_tok_col, source_col,
+                                  alpha=alpha, budget=budget)
+    u = _uniform01_sql(f"t.{id_col}", seed)
+    return f"""
+        WITH plan AS ({plan}),
+        j AS (
+          SELECT t.{id_col}, t.{source_col}, p.n_epochs,
+                 p.n_epochs + CASE WHEN {u} < p.tail_frac
+                                   THEN 1 ELSE 0 END AS n_copies
+          FROM {table} t JOIN plan p ON t.{source_col} = p.source
+        )
+        SELECT {id_col}, {source_col},
+               CAST(unnest(range(n_copies)) AS INT) AS epoch_copy,
+               unnest(range(n_copies)) = n_epochs AS is_tail
+        FROM j
+    """
