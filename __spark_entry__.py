@@ -941,14 +941,11 @@ def _q_seq_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "tokens", "doc_id", F.col("source") == "wiki")
 
 
-def _q_seq_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-level NEAR-dup candidates (MinHash+LSH over 8-token windows)
-    — the gap between sequence_exact_dedup (bitwise) and the text-side
-    near-dup stack (pre-tokenization).  The fixture stream has no natural
-    near-dups, so every 20th row is re-emitted with only its LAST token
-    changed (identically in both engines): ~97% of windows shared."""
-    from ulp_spark.operators import tokens
-
+def _near_dup_aug(spark: SparkSession) -> DataFrame:
+    """Near-dup-bearing stream shared by the token MinHash queries: the
+    fixture's arithmetic stream has no natural near-dups, so every 20th
+    row is re-emitted with only its LAST token changed (identically in
+    both engines): ~97% of windows shared."""
     seq = fixtures.sequences(spark, 2_500)
     near = (
         seq.filter((F.col("seq_no") % 20 == 0) & (F.col("n_tok") >= 8))
@@ -959,8 +956,29 @@ def _q_seq_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array((F.element_at(F.col("tokens"), -1) + 1)
                         .cast("int"))).alias("tokens"))
     )
-    aug = seq.select("doc_id", "tokens").unionAll(near)
-    return tokens.sequence_minhash_candidates(aug, "tokens", "doc_id")
+    return seq.select("doc_id", "tokens").unionAll(near)
+
+
+def _q_seq_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level NEAR-dup candidates (MinHash+LSH over 8-token windows)
+    — the gap between sequence_exact_dedup (bitwise) and the text-side
+    near-dup stack (pre-tokenization)."""
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_minhash_candidates(
+        _near_dup_aug(spark), "tokens", "doc_id")
+
+
+def _q_seq_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level near-dup CLUSTERS: LSH candidates -> exact window-set
+    Jaccard >= 0.8 verification -> connected components (comp_id =
+    canonical min id).  The shingle-set projection is seamed once for
+    signatures AND both verify sides; oracle is the recursive-CTE
+    transitive closure over the same verified edges."""
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_dedup_groups(
+        _near_dup_aug(spark), "tokens", "doc_id")
 
 
 def _q_doc_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,6 +1287,7 @@ _PYTEST_ONLY = frozenset({
     "seq_minhash_candidates",
     "doc_curriculum_stages",
     "seq_mixed_epoch",
+    "seq_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1369,6 +1388,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_minhash_candidates": _q_seq_minhash_candidates,
         "doc_curriculum_stages": _q_doc_curriculum_stages,
         "seq_mixed_epoch": _q_seq_mixed_epoch,
+        "seq_dedup_groups": _q_seq_dedup_groups,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1556,12 +1576,10 @@ def _cross_source_dups_sql() -> str:
     return tokens.cross_source_dup_matrix_sql(aug, "tokens", "source")
 
 
-def _seq_minhash_sql() -> str:
-    """The changed-last-token union twin of _q_seq_minhash_candidates."""
-    from ulp_spark.operators import tokens
-
+def _near_dup_aug_sql() -> str:
+    """The changed-last-token union twin of _near_dup_aug."""
     base = fixtures.sequences_sql(2_500)
-    aug = f"""(
+    return f"""(
         SELECT doc_id, tokens FROM ({base})
         UNION ALL
         SELECT doc_id || '-near' AS doc_id,
@@ -1569,7 +1587,20 @@ def _seq_minhash_sql() -> str:
                  || [CAST(tokens[-1] + 1 AS INTEGER)] AS tokens
         FROM ({base})
         WHERE seq_no % 20 = 0 AND n_tok >= 8)"""
-    return tokens.sequence_minhash_candidates_sql(aug, "tokens", "doc_id")
+
+
+def _seq_minhash_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_minhash_candidates_sql(
+        _near_dup_aug_sql(), "tokens", "doc_id")
+
+
+def _seq_dedup_groups_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.sequence_dedup_groups_sql(
+        _near_dup_aug_sql(), "tokens", "doc_id")
 
 
 def _vocab_growth_sql() -> str:
@@ -2185,6 +2216,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_minhash_candidates": _seq_minhash_sql(),
         "doc_curriculum_stages": _curriculum_sql(),
         "seq_mixed_epoch": _mixed_epoch_sql(),
+        "seq_dedup_groups": _seq_dedup_groups_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

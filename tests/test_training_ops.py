@@ -2633,3 +2633,26 @@ def test_apply_mixing_plan_partition_invariant(spark):
     a = tokens.apply_mixing_plan(sequences(spark, 400, 1), budget=300_000)
     b = tokens.apply_mixing_plan(sequences(spark, 400, 9), budget=300_000)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sequence_dedup_groups_verify_kills_false_positives(spark):
+    """a/b identical and c a one-token edit -> one cluster with canonical
+    min id; d/e share NO windows but are forced into one LSH bucket via
+    identical empty... instead: verify stage must drop a candidate pair
+    whose true window Jaccard is below threshold (x shares exactly one
+    window with a: jaccard ~ 1/85 << 0.8)."""
+    from ulp_spark.operators import tokens
+
+    base = list(range(100, 150))
+    near = base[:-1] + [999]
+    # x: shares base's first window only, rest disjoint
+    x = base[:8] + list(range(9000, 9080))
+    df = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", near), ("x", x)],
+        "doc_id string, tokens array<int>")
+    got = {r.doc_id: r.comp_id for r in
+           tokens.sequence_dedup_groups(df, threshold=0.8).collect()}
+    assert got.get("a") == "a" and got.get("b") == "a"
+    assert "x" not in got or got["x"] == "x"  # never welded into a's cluster
+    if "c" in got:
+        assert got["c"] == "a"

@@ -432,9 +432,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     halving chain lengths so rounds are O(log diameter).  Each round is
     two equi-joins shuffled on the node id; lineage is truncated with
     ``localCheckpoint`` so plans stay flat across iterations.  Convergence
-    is detected with a single scalar aggregate — component labels only
-    ever DECREASE, so an unchanged ``sum(comp)`` means a fixed point; no
-    per-round diff join.  The fixed point (min id per component) is unique
+    is detected exactly: a node-scale join between the round's labels and
+    the previous round's with a ``limit(1)`` early-out — no changed row
+    means a fixed point.  (Works for STRING ids too; the former
+    ``sum(comp::decimal)`` scalar metric assumed numeric ids.)  The fixed
+    point (min id per component) is unique
     and independent of the round count, hence oracle-comparable against a
     recursive-CTE transitive closure.
 
@@ -452,7 +454,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .select("n", F.least(F.col("n"), F.col("nbr_min")).alias("comp"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         prop = (
             sym.join(labels.select(F.col("n").alias("m2"), "comp"),
@@ -471,11 +472,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                                  F.coalesce("ccomp", "comp")).alias("comp"))
             .localCheckpoint()
         )
-        cur_sum = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        # exact fixed-point check: any row whose label moved this round?
+        # (node-scale join over two checkpointed frames with a limit(1)
+        # early-out; works for STRING ids too, where the former
+        # sum(comp::decimal) convergence metric could not cast)
+        changed = (
+            new.join(labels.select("n", F.col("comp").alias("__old")), "n")
+            .filter(F.col("comp") != F.col("__old")).limit(1).count()
+        )
         labels = new
-        if cur_sum == prev_sum:
+        if changed == 0:
             break
-        prev_sum = cur_sum
     else:
         # With pointer jumping, max_iter=25 covers diameter ~2^25; hitting
         # this means the labeling is NOT the transitive min — fail loudly

@@ -1824,3 +1824,66 @@ def apply_mixing_plan_sql(
                unnest(range(n_copies)) = n_epochs AS is_tail
         FROM j
     """
+
+
+def sequence_dedup_groups(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    k: int = GRAM, threshold: float = 0.8, max_bucket: int = 1000,
+) -> DataFrame:
+    """Token-level near-dup CLUSTERS — the full three-stage pipeline:
+    MinHash+LSH candidates -> EXACT window-set Jaccard verification
+    (>= threshold; kills the band-collision false positives the
+    candidate stage tolerates by design) -> connected components
+    (comp_id = canonical min id).  Keep comp_id == id for the dedup.
+
+    Scale shape: the (id, shingle-set) projection is seamed ONCE and
+    feeds signature generation AND both verification join sides (the
+    fan-out rule); candidate generation delegates to the shared LSH
+    engine (bucket cap before any pair); verification joins are
+    key-scale (candidate pairs only, never the corpus); the CC loop
+    runs on verified edges at O(log diameter) rounds.
+    """
+    from ulp_spark.operators.dedup import (
+        connected_components, jaccard, minhash_candidates_from_hashes)
+
+    toks = F.col(tokens_col)
+    h = (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col).alias("__sid"),
+                token_shingle_hashes(toks, k).alias("__sh"))
+    )
+    h = seam(h)
+    pairs = minhash_candidates_from_hashes(
+        h, F.col("__sh"), "__sid", max_bucket)
+    a = h.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = h.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(verified)
+    return cc.select(F.col("id").alias(id_col), "comp_id")
+
+
+def sequence_dedup_groups_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    k: int = GRAM, threshold: float = 0.8, max_bucket: int = 1000,
+) -> str:
+    from ulp_spark.operators.dedup import connected_components_sql
+
+    cand = sequence_minhash_candidates_sql(
+        table, tokens_col, id_col, k, max_bucket)
+    sh = (f"SELECT {id_col} AS vid, "
+          f"{token_shingle_hashes_sql(tokens_col, k)} AS sh "
+          f"FROM {table} WHERE len({tokens_col}) >= {k}")
+    verified = f"""
+        SELECT p.id_a, p.id_b FROM ({cand}) p
+        JOIN ({sh}) a ON p.id_a = a.vid
+        JOIN ({sh}) b ON p.id_b = b.vid
+        WHERE (CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                    THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh))
+                    ELSE 0.0 END) >= {threshold}
+    """
+    return connected_components_sql(verified, id_alias=id_col)
