@@ -633,3 +633,49 @@ def test_snapshot_history_and_rollback(spark, tmp_path):
         manifest.rollback(base, "run-sn", 999)
     with _p.raises(KeyError):
         manifest.rollback(base, "nope", 0)
+
+
+def test_streaming_contamination_alerts_match_batch(spark, tmp_path):
+    """Stream-static broadcast join: alerts across two micro-batches match
+    the batch token_contamination hit set; replayed rows alert once."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens as toks
+    from ulp_spark.streaming import stream as st
+
+    n = 400
+    seq = fixtures.sequences(spark, n)
+    eval_grams = (
+        seq.filter(F.col("source") == "wiki")
+        .select(F.explode(toks.token_grams(F.col("tokens"))).alias("gk"))
+        .distinct()
+    )
+    eval_pd = eval_grams.collect()
+    eval_static = spark.createDataFrame(eval_pd, "gk string")
+    # batch expectation: contaminated train ids
+    exp = {r.doc_id for r in toks.token_contamination(
+        seq, "tokens", "doc_id", F.col("source") == "wiki").collect()
+        if r.is_contaminated}
+
+    src = str(tmp_path / "src"); sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    train = seq.filter(F.col("source") != "wiki").select("doc_id", "tokens")
+
+    def run(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        s = spark.readStream.schema(
+            "doc_id string, tokens array<int>").parquet(src)
+        q = (
+            st.contamination_alerts(s, eval_static)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    half = train.filter(F.col("doc_id") < "doc-00000200")
+    rest = train.filter(F.col("doc_id") >= "doc-00000200")
+    run(half)
+    run(rest.unionAll(half.limit(50)))  # replay: no duplicate alerts
+    got = [r.doc_id for r in spark.read.parquet(sink).collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == exp

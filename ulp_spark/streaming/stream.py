@@ -72,3 +72,34 @@ def windowed_route_counts(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(F.col("w.start").alias("window_start"), "route", "n_rows")
     )
+
+
+def contamination_alerts(
+    seq_stream: DataFrame, eval_grams: DataFrame,
+    tokens_col: str = "tokens", id_col: str = "doc_id", k: int = 8,
+) -> DataFrame:
+    """Streaming decontamination monitor: one alert row (id) per ingested
+    sequence sharing ANY k-token window with the STATIC eval gram set —
+    the always-on twin of tokens.token_contamination, run at ingest time
+    so a contaminated shard is caught before it reaches training.
+
+    ``eval_grams`` is a static (batch) 1-column frame of gram keys
+    (tokens.token_grams md5 strings), e.g. the benchmark suite exported
+    once — the stream-static broadcast join pattern: the static side is
+    re-broadcast per micro-batch, the stream side never shuffles.
+    dropDuplicates on the id bounds emission to once per sequence;
+    its state grows with the CONTAMINATED set only (alerts are the
+    anomaly, not the corpus — document the bound, don't hide it).
+
+    Works on a batch frame too (same expression surface), where it
+    degenerates to token_contamination's hit set.
+    """
+    from ulp_spark.operators.tokens import token_grams
+
+    ex = seq_stream.select(
+        F.col(id_col),
+        F.explode(token_grams(F.col(tokens_col), k)).alias("gk"),
+    )
+    hits = ex.join(F.broadcast(eval_grams.select(F.col("gk"))),
+                   "gk", "left_semi")
+    return hits.select(id_col).dropDuplicates([id_col])
