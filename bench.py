@@ -264,6 +264,32 @@ def main() -> None:
     n_wpairs = dedup.winnow_candidates(lsh_docs, "text", "doc_id").count()
     winnow_sec = round(time.perf_counter() - t0w, 3)
 
+    # token-level near-dup (r5): MinHash candidates + verified clusters
+    # over the sequence table with constructed near-dups (every 20th row
+    # re-emitted, last token changed) — the post-tokenization dedup cost
+    # next to the text-side LSH above.
+    from ulp_spark.operators import tokens as toklib  # noqa: E402
+    # 20k cap: the fixture's arithmetic token stream makes window sets
+    # DENSE (a window is determined by its first value), so candidate
+    # pairs grow superlinearly — the bench measures engine cost, not the
+    # fixture's adversarial self-similarity.
+    nd_n = min(n_seqs, 20_000)
+    nd_base = fixtures.sequences(spark, nd_n)
+    nd_aug = nd_base.select("doc_id", "tokens").unionAll(
+        nd_base.filter((F.col("seq_no") % 20 == 0) & (F.col("n_tok") >= 8))
+        .select(F.concat(F.col("doc_id"), F.lit("-near")).alias("doc_id"),
+                F.concat(F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
+                         F.array((F.element_at(F.col("tokens"), -1) + 1)
+                                 .cast("int"))).alias("tokens")))
+    t0n = time.perf_counter()
+    n_tok_pairs = toklib.sequence_minhash_candidates(
+        nd_aug, "tokens", "doc_id").count()
+    tok_cand_sec = round(time.perf_counter() - t0n, 3)
+    t0g = time.perf_counter()
+    n_tok_groups = toklib.sequence_dedup_groups(
+        nd_aug, "tokens", "doc_id").count()
+    tok_groups_sec = round(time.perf_counter() - t0g, 3)
+
     # 10x data anchor: the same full DAG at 10x the sequence count, same
     # cores — evidence that throughput holds as data scales (the second
     # axis next to the core-scaling pair in BENCH.md).
@@ -338,6 +364,11 @@ def main() -> None:
         "winnow": {"docs": n_lsh_docs,
                    "candidate_pairs": int(n_wpairs),
                    "winnow_candidates_sec": winnow_sec},
+        "token_dedup": {"seqs": int(nd_n),
+                        "candidate_pairs": int(n_tok_pairs),
+                        "candidates_sec": tok_cand_sec,
+                        "clustered_rows": int(n_tok_groups),
+                        "verified_groups_sec": tok_groups_sec},
         "scale10x": {
             "seqs": n_seqs * 10,
             "sec": round(scale10_sec, 3),

@@ -2656,3 +2656,32 @@ def test_sequence_dedup_groups_verify_kills_false_positives(spark):
     assert "x" not in got or got["x"] == "x"  # never welded into a's cluster
     if "c" in got:
         assert got["c"] == "a"
+
+
+def test_apply_mixing_plan_no_corpus_shuffle_plan(spark):
+    """Plan pin: executing the mixing plan is a map-only stage over the
+    corpus — the ONLY exchanges feed the |sources|-row plan aggregate
+    and its broadcast; the corpus side must show no hash repartition."""
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    out = tokens.apply_mixing_plan(sequences(spark, 500), budget=200_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan          # the plan side
+    # corpus side: a BroadcastHashJoin, never a SortMergeJoin/shuffle join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_contamination_coverage_single_corpus_shuffle(spark):
+    """Plan pin: eval grams broadcast; the train side's only corpus-scale
+    exchange is the per-id collapse (plus the final join-back)."""
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    out = tokens.contamination_coverage(
+        sequences(spark, 500), "tokens", "doc_id",
+        F.col("source") == "wiki")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
