@@ -1006,6 +1006,18 @@ def _q_seq_mixed_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq, "n_tok", "source", "doc_id", alpha=0.5, budget=2_000_000)
 
 
+def _q_seq_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle rewrite (PSM layout, Bavarian et al. 2022) at
+    rate 0.5 with out-of-vocab sentinels: deterministic md5-uniform coin
+    + split points, per-row JVM slice/concat, no shuffle."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.fim_transform(
+        seq, "tokens", "doc_id", rate=0.5,
+        pre_id=60001, mid_id=60002, suf_id=60003)
+
+
 _GROWTH_CHECKPOINTS = [1_000, 10_000, 100_000, 1_000_000, 3_000_000]
 
 
@@ -1288,6 +1300,7 @@ _PYTEST_ONLY = frozenset({
     "doc_curriculum_stages",
     "seq_mixed_epoch",
     "seq_dedup_groups",
+    "seq_fim_transform",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1389,6 +1402,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum_stages": _q_doc_curriculum_stages,
         "seq_mixed_epoch": _q_seq_mixed_epoch,
         "seq_dedup_groups": _q_seq_dedup_groups,
+        "seq_fim_transform": _q_seq_fim_transform,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1617,6 +1631,14 @@ def _mixed_epoch_sql() -> str:
     return tokens.apply_mixing_plan_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "source",
         "doc_id", alpha=0.5, budget=2_000_000)
+
+
+def _fim_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.fim_transform_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
+        rate=0.5, pre_id=60001, mid_id=60002, suf_id=60003)
 
 
 def _curriculum_sql() -> str:
@@ -2217,6 +2239,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_curriculum_stages": _curriculum_sql(),
         "seq_mixed_epoch": _mixed_epoch_sql(),
         "seq_dedup_groups": _seq_dedup_groups_sql(),
+        "seq_fim_transform": _fim_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

@@ -2685,3 +2685,47 @@ def test_contamination_coverage_single_corpus_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_fim_transform_invariants(spark):
+    """Structure: [PRE] p [SUF] s [MID] m with the non-sentinel token
+    MULTISET preserved; untouched rows pass through; rate=0/1 edges."""
+    from collections import Counter
+
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    seq = sequences(spark, 300).select("doc_id", "tokens")
+    orig = {r.doc_id: list(r.tokens) for r in seq.collect()}
+    out = tokens.fim_transform(seq, rate=0.5,
+                               pre_id=60001, mid_id=60002, suf_id=60003)
+    n_fim = 0
+    for r in out.collect():
+        t = list(r.tokens_fim)
+        if r.is_fim:
+            n_fim += 1
+            assert t[0] == 60001 and r.n_tok_fim == len(orig[r.doc_id]) + 3
+            i_suf, i_mid = t.index(60003), t.index(60002)
+            assert 0 < i_suf < i_mid
+            body = t[1:i_suf] + t[i_mid + 1:] + t[i_suf + 1:i_mid]
+            assert Counter(body) == Counter(orig[r.doc_id])
+        else:
+            assert t == orig[r.doc_id]
+    assert 100 < n_fim < 200  # rate 0.5 over 300 rows, loose band
+    all_off = tokens.fim_transform(seq, rate=0.0)
+    assert all_off.filter("is_fim").count() == 0
+    all_on = tokens.fim_transform(seq, rate=1.0)
+    assert all_on.filter("NOT is_fim").count() == 0
+    with pytest.raises(ValueError):
+        tokens.fim_transform(seq, rate=1.5)
+
+
+def test_fim_transform_partition_invariant_no_shuffle(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    a = tokens.fim_transform(sequences(spark, 250, 1))
+    b = tokens.fim_transform(sequences(spark, 250, 13))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

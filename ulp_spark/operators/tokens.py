@@ -1887,3 +1887,97 @@ def sequence_dedup_groups_sql(
                     ELSE 0.0 END) >= {threshold}
     """
     return connected_components_sql(verified, id_alias=id_col)
+
+
+def fim_transform(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    rate: float = 0.5, pre_id: int = 50281, mid_id: int = 50282,
+    suf_id: int = 50283, seed: str = "fim0",
+) -> DataFrame:
+    """Fill-in-the-middle rewrite (Bavarian et al. 2022, the
+    StarCoder/code-Llama data transform), PSM layout: with probability
+    ``rate`` per sequence, split at two deterministic points i <= j and
+    emit [PRE] prefix [SUF] suffix [MID] middle; otherwise pass through.
+    The sentinel ids must live OUTSIDE the corpus vocabulary (caller's
+    contract, as in the paper).
+
+    Determinism: the apply coin and both split points come from
+    sampling._uniform01's 52-bit md5 uniforms keyed on (seed, id) —
+    partition-invariant, identical in the DuckDB twin, reproducible
+    across runs (the property a resumable 10^12-row preprocessing job
+    needs; rand() would re-deal on every retry).
+
+    Returns (id, tokens_fim, n_tok_fim, is_fim).  Non-sentinel token
+    MULTISET is preserved per row (pinned in pytest) — FIM reorders,
+    never drops.
+
+    Scale shape: per-row JVM slice/concat in one codegen stage — no
+    shuffle, no UDF; output co-partitions with the input.
+    """
+    from ulp_spark.operators.sampling import _uniform01
+
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    toks = F.col(tokens_col)
+    idc = F.col(id_col)
+    n = F.size(toks)
+    u_apply = _uniform01(idc, f"{seed}:apply")
+    ua = _uniform01(idc, f"{seed}:a")
+    ub = _uniform01(idc, f"{seed}:b")
+    i = F.floor(F.least(ua, ub) * (n + 1)).cast("int")
+    j = F.floor(F.greatest(ua, ub) * (n + 1)).cast("int")
+    prefix = F.slice(toks, 1, i)
+    middle = F.slice(toks, i + 1, j - i)
+    suffix = F.when(n - j > 0, F.slice(toks, j + 1, n - j)) \
+        .otherwise(F.array().cast("array<int>"))
+    fim = F.concat(
+        F.array(F.lit(pre_id).cast("int")), prefix,
+        F.array(F.lit(suf_id).cast("int")), suffix,
+        F.array(F.lit(mid_id).cast("int")), middle,
+    )
+    apply = u_apply < F.lit(rate)
+    out_toks = F.when(apply, fim).otherwise(toks)
+    return df.select(
+        idc,
+        out_toks.alias("tokens_fim"),
+        F.size(out_toks).cast("int").alias("n_tok_fim"),
+        apply.alias("is_fim"),
+    )
+
+
+def fim_transform_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    rate: float = 0.5, pre_id: int = 50281, mid_id: int = 50282,
+    suf_id: int = 50283, seed: str = "fim0",
+) -> str:
+    from ulp_spark.operators.sampling import _uniform01_sql
+
+    ua = _uniform01_sql(id_col, f"{seed}:a")
+    ub = _uniform01_sql(id_col, f"{seed}:b")
+    u_apply = _uniform01_sql(id_col, f"{seed}:apply")
+    return f"""
+        WITH s AS (
+          SELECT {id_col}, {tokens_col} AS t, len({tokens_col}) AS n,
+                 CAST(floor(least({ua}, {ub}) * (len({tokens_col}) + 1))
+                      AS INT) AS i,
+                 CAST(floor(greatest({ua}, {ub}) * (len({tokens_col}) + 1))
+                      AS INT) AS j,
+                 ({u_apply}) < {rate} AS apply
+          FROM {table}
+        ),
+        r AS (
+          SELECT {id_col}, apply,
+                 CASE WHEN apply THEN
+                   [CAST({pre_id} AS INTEGER)] || t[1:i]
+                   || [CAST({suf_id} AS INTEGER)]
+                   || (CASE WHEN n - j > 0 THEN t[j+1:n]
+                       ELSE CAST([] AS INTEGER[]) END)
+                   || [CAST({mid_id} AS INTEGER)] || t[i+1:j]
+                 ELSE t END AS tokens_fim
+          FROM s
+        )
+        SELECT {id_col}, tokens_fim,
+               len(tokens_fim)::INT AS n_tok_fim,
+               apply AS is_fim
+        FROM r
+    """
