@@ -2609,12 +2609,10 @@ def test_apply_mixing_plan_reconstructs_budget(spark):
     counts = {(r.source, r.doc_id): r["count"] for r in per.collect()}
     n_rows = {s: 0 for s in plan}
     for r in seq.select("doc_id", "source").collect():
-        if r.source is None:
-            assert (r.source, r.doc_id) not in counts
-            continue
-        n_rows[r.source] += 1
-        p = plan[r.source]
-        c = counts.get((r.source, r.doc_id), 0)
+        s = r.source if r.source is not None else "__null__"
+        n_rows[s] += 1
+        p = plan[s]
+        c = counts.get((s, r.doc_id), 0)
         assert c in (p.n_epochs, p.n_epochs + 1)
     # tail admission rate ~ tail_frac per source (loose 3-sigma band)
     tails = {s: 0 for s in plan}

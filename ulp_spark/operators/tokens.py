@@ -1763,8 +1763,10 @@ def apply_mixing_plan(
     are unconditional; the fractional tail admits copy n_epochs iff a
     deterministic md5 uniform (sampling._uniform01 — 52-bit, exactly
     representable, partition-invariant) falls under the plan's
-    tail_frac.  NULL-source rows have no plan identity and are excluded
-    (join on source), exactly as in the plan itself.
+    tail_frac.  NULL sources bucket as '__null__' BEFORE the join —
+    the same coalesce the plan itself applies — so the budget share the
+    plan allocates to unlabeled rows is actually executed (a plain
+    equality join would silently orphan it).
 
     Scale shape: the plan is |sources| rows and broadcast-joins; the
     copy explode is bounded by n_epochs+1 per row (the temperature
@@ -1777,7 +1779,10 @@ def apply_mixing_plan(
 
     plan = source_mixing_plan(df, n_tok_col, source_col,
                               alpha=alpha, budget=budget)
-    j = df.select(F.col(id_col), F.col(source_col)).join(
+    bucketed = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(source_col), F.lit("__null__")).alias(source_col))
+    j = bucketed.join(
         F.broadcast(plan.select(
             F.col("source").alias(source_col), "n_epochs", "tail_frac")),
         source_col)
@@ -1814,10 +1819,13 @@ def apply_mixing_plan_sql(
     return f"""
         WITH plan AS ({plan}),
         j AS (
-          SELECT t.{id_col}, t.{source_col}, p.n_epochs,
+          SELECT t.{id_col},
+                 coalesce(t.{source_col}, '__null__') AS {source_col},
+                 p.n_epochs,
                  p.n_epochs + CASE WHEN {u} < p.tail_frac
                                    THEN 1 ELSE 0 END AS n_copies
-          FROM {table} t JOIN plan p ON t.{source_col} = p.source
+          FROM {table} t
+          JOIN plan p ON coalesce(t.{source_col}, '__null__') = p.source
         )
         SELECT {id_col}, {source_col},
                CAST(unnest(range(n_copies)) AS INT) AS epoch_copy,
