@@ -1018,6 +1018,28 @@ def _q_seq_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre_id=60001, mid_id=60002, suf_id=60003)
 
 
+def _q_seq_mixed_writer_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: temperature-mixed epoch (apply_mixing_plan) ->
+    per-instance token loads -> snake-deal token-balanced assignment
+    onto 8 writers — the mix-then-write story as ONE plan.  Instance
+    identity is doc_id#epoch_copy (a replicated sequence is a distinct
+    writer item per pass)."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    mixed = tokens.apply_mixing_plan(
+        seq, "n_tok", "source", "doc_id", alpha=0.5, budget=2_000_000)
+    withtok = (
+        mixed.join(seq.select("doc_id", "n_tok"), "doc_id")
+        .select(
+            F.concat_ws("#", F.col("doc_id"),
+                        F.col("epoch_copy").cast("string")).alias("inst_id"),
+            "n_tok")
+    )
+    return tokens.writer_loads(
+        tokens.balanced_writers(withtok, "n_tok", "inst_id", 8))
+
+
 _GROWTH_CHECKPOINTS = [1_000, 10_000, 100_000, 1_000_000, 3_000_000]
 
 
@@ -1301,6 +1323,7 @@ _PYTEST_ONLY = frozenset({
     "seq_mixed_epoch",
     "seq_dedup_groups",
     "seq_fim_transform",
+    "seq_mixed_writer_loads",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1403,6 +1426,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_mixed_epoch": _q_seq_mixed_epoch,
         "seq_dedup_groups": _q_seq_dedup_groups,
         "seq_fim_transform": _q_seq_fim_transform,
+        "seq_mixed_writer_loads": _q_seq_mixed_writer_loads,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1631,6 +1655,19 @@ def _mixed_epoch_sql() -> str:
     return tokens.apply_mixing_plan_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "n_tok", "source",
         "doc_id", alpha=0.5, budget=2_000_000)
+
+
+def _mixed_writer_loads_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    seq_tbl = f"({fixtures.sequences_sql(N_FIXTURE)})"
+    mixed = tokens.apply_mixing_plan_sql(
+        seq_tbl, "n_tok", "source", "doc_id", alpha=0.5, budget=2_000_000)
+    inner = f"""(
+        SELECT m.doc_id || '#' || CAST(m.epoch_copy AS VARCHAR) AS inst_id,
+               s.n_tok
+        FROM ({mixed}) m JOIN {seq_tbl} s ON m.doc_id = s.doc_id)"""
+    return tokens.balanced_writer_loads_sql(inner, "n_tok", "inst_id", 8)
 
 
 def _fim_sql() -> str:
@@ -2240,6 +2277,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_mixed_epoch": _mixed_epoch_sql(),
         "seq_dedup_groups": _seq_dedup_groups_sql(),
         "seq_fim_transform": _fim_sql(),
+        "seq_mixed_writer_loads": _mixed_writer_loads_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
