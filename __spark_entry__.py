@@ -1018,6 +1018,41 @@ def _q_seq_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre_id=60001, mid_id=60002, suf_id=60003)
 
 
+def _q_seq_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption rewrite (denoising objective inputs/
+    targets) at rate 0.15 over fixed 3-token blocks: deterministic
+    md5-uniform coin per (id, block), per-row JVM array algebra, no
+    shuffle.  Sentinels at 51000+ sit outside the 50257 fixture vocab."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.span_corruption(seq, "tokens", "doc_id",
+                                  rate=0.15, span_len=3,
+                                  sentinel_base=51000)
+
+
+def _q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log p_target/p_raw
+    under hashed uni+bigram unigram models, target = the English slice
+    of the corpus — integer micro-nat lambda sums, dim-bounded broadcast
+    weight table, corpus text never shuffles."""
+    from ulp_spark.operators import classifier
+
+    d = _docs(spark, sf_dir)
+    return classifier.dsir_importance(
+        d, "text", "doc_id", d.filter(F.col("lang") == "en"))
+
+
+def _q_seq_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source token
+    distributions — the mixture-design distance matrix; exact integer
+    micro-nat terms, one corpus-scale aggregate, vocab-scale joins."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.source_js_divergence(seq)
+
+
 def _q_seq_mixed_writer_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: temperature-mixed epoch (apply_mixing_plan) ->
     per-instance token loads -> snake-deal token-balanced assignment
@@ -1297,33 +1332,41 @@ _PYTEST_ONLY = frozenset({
     "events_windowed_deltas",
     "doc_profile",
     "doc_length_quantiles",
-    # r5-new: full DuckDB oracles through the same pytest-parity gate;
-    # driver-slate rotation candidates for r6
-    "doc_bpe_tokenize",
-    "seq_chunk_windows",
-    "seq_weighted_sample",
-    "seq_length_buckets",
-    "seq_unigram_scores",
-    "seq_bigram_scores",
-    "doc_winnow_candidates",
-    "seq_repeated_suffix",
-    "seq_remove_dup_spans",
-    "doc_clean_lines",
-    "doc_bpe_learned_tokenize",
-    "seq_resume_position",
-    "seq_trim_repeated_suffix",
-    "emb_semantic_dedup_groups",
-    "seq_token_entropy",
-    "seq_zipf_fit",
-    "seq_cross_source_dups",
-    "seq_contamination_frac",
-    "seq_vocab_growth",
-    "seq_minhash_candidates",
-    "doc_curriculum_stages",
-    "seq_mixed_epoch",
-    "seq_dedup_groups",
-    "seq_fim_transform",
-    "seq_mixed_writer_loads",
+    # final r5 rotation (this is the LAST round — no r6 slate exists):
+    # every r5-new op moves ONTO the driver gate so each earns a
+    # driver-issued verdict in CORRECTNESS_r05; twenty-five long-stable
+    # queries (green in CORRECTNESS r01-r04) park here in exchange,
+    # still pytest-parity-gated at sf0.01 with the driver's compare
+    "doc_simhash_candidates",
+    "vocab_topk",
+    "bpe_top_merges",
+    "emb_topk_cosine",
+    "text_langid",
+    "text_token_counts",
+    "mm_features",
+    "mm_frame_counts",
+    "events_topk_users",
+    "emb_bucket_pairs",
+    "seq_shard_manifest",
+    "seq_source_drift",
+    "seq_dup_gram_coverage",
+    "seq_temperature_mix",
+    "seq_token_contamination",
+    "events_value_anomalies",
+    "doc_split_counts",
+    "events_sessions",
+    "events_nested_schema",
+    "events_asof_click",
+    "text_repetition",
+    "events_pii_redact",
+    "doc_stratified_sample",
+    "doc_quality_topk",
+    "doc_token_budget_mix",
+    # three more long-stable rows park to make room for the wave-4 ops
+    # (seq_span_corruption, doc_dsir_weights, seq_source_js)
+    "emb_ivf_topk",
+    "doc_contamination",
+    "text_quality",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1427,6 +1470,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_dedup_groups": _q_seq_dedup_groups,
         "seq_fim_transform": _q_seq_fim_transform,
         "seq_mixed_writer_loads": _q_seq_mixed_writer_loads,
+        "seq_span_corruption": _q_seq_span_corruption,
+        "doc_dsir_weights": _q_doc_dsir_weights,
+        "seq_source_js": _q_seq_source_js,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1676,6 +1722,28 @@ def _fim_sql() -> str:
     return tokens.fim_transform_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
         rate=0.5, pre_id=60001, mid_id=60002, suf_id=60003)
+
+
+def _span_corruption_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.span_corruption_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id",
+        rate=0.15, span_len=3, sentinel_base=51000)
+
+
+def _dsir_weights_sql() -> str:
+    from ulp_spark.operators import classifier
+
+    return classifier.dsir_importance_sql(
+        "documents", "text", "doc_id", "lang = 'en'")
+
+
+def _source_js_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.source_js_divergence_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})")
 
 
 def _curriculum_sql() -> str:
@@ -2278,6 +2346,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_dedup_groups": _seq_dedup_groups_sql(),
         "seq_fim_transform": _fim_sql(),
         "seq_mixed_writer_loads": _mixed_writer_loads_sql(),
+        "seq_span_corruption": _span_corruption_sql(),
+        "doc_dsir_weights": _dsir_weights_sql(),
+        "seq_source_js": _source_js_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

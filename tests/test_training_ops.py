@@ -2727,3 +2727,151 @@ def test_fim_transform_partition_invariant_no_shuffle(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_span_corruption_invariants(spark):
+    """T5 layout: inputs replace corrupted block i with sentinel base+i,
+    targets = [sentinel_i, block...] per span + closing sentinel; the
+    non-sentinel multiset over inputs+targets equals the original
+    tokens; rate 0/1 edges and validation."""
+    from collections import Counter
+
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    BASE = 51000
+    seq = sequences(spark, 300).select("doc_id", "tokens")
+    orig = {r.doc_id: list(r.tokens) for r in seq.collect()}
+    out = tokens.span_corruption(seq, rate=0.15, span_len=3,
+                                 sentinel_base=BASE)
+    n_spans_total = 0
+    for r in out.collect():
+        inp, tgt = list(r.inputs), list(r.targets)
+        ns = r.n_spans
+        n_spans_total += ns
+        body = [t for t in inp if t < BASE] + [t for t in tgt if t < BASE]
+        assert Counter(body) == Counter(orig[r.doc_id])
+        # sentinels in inputs are exactly base..base+ns-1 in order
+        assert [t for t in inp if t >= BASE] == [BASE + i for i in range(ns)]
+        # targets: per-span sentinel prefix + closing sentinel base+ns
+        assert [t for t in tgt if t >= BASE] \
+            == [BASE + i for i in range(ns + 1)]
+        assert tgt[-1] == BASE + ns
+        # spans between consecutive sentinels hold 1..span_len tokens
+        sent_pos = [i for i, t in enumerate(tgt) if t >= BASE]
+        for j in range(len(sent_pos) - 1):
+            gap = sent_pos[j + 1] - sent_pos[j] - 1
+            assert 1 <= gap <= 3
+    assert n_spans_total > 0
+    none = tokens.span_corruption(seq, rate=0.0)
+    assert none.filter("n_spans > 0").count() == 0
+    # rate 0: inputs == original tokens
+    for r in none.collect():
+        assert list(r.inputs) == orig[r.doc_id]
+        assert list(r.targets) == [BASE]
+    full = tokens.span_corruption(seq, rate=1.0, span_len=4)
+    # every block corrupted: inputs are all sentinels
+    for r in full.limit(20).collect():
+        assert all(t >= BASE for t in r.inputs)
+        assert r.n_spans == (len(orig[r.doc_id]) + 3) // 4
+    with pytest.raises(ValueError):
+        tokens.span_corruption(seq, rate=-0.1)
+    with pytest.raises(ValueError):
+        tokens.span_corruption(seq, span_len=0)
+
+
+def test_span_corruption_partition_invariant_no_shuffle(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    a = tokens.span_corruption(sequences(spark, 250, 1))
+    b = tokens.span_corruption(sequences(spark, 250, 13))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dsir_importance_direction_and_edges(spark):
+    """Target-like docs must outscore non-target docs on average; empty
+    text rows come back with n_feats 0 / weight 1.0; the trained lambda
+    table stays bounded by dim."""
+    from ulp_spark.operators import classifier
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.unionByName(
+        spark.createDataFrame([(99990, None, "xx", "none", 0)],
+                              schema=docs.schema))
+    tgt = docs.filter("lang = 'en'")
+    out = classifier.dsir_importance(docs, "text", "doc_id", tgt).collect()
+    assert len(out) == docs.count()
+    by_id = {r.doc_id: r for r in out}
+    en = {r.doc_id for r in docs.filter("lang = 'en'").collect()}
+    import statistics
+    mean_en = statistics.mean(
+        r.logratio_micro for r in out if r.doc_id in en)
+    mean_other = statistics.mean(
+        r.logratio_micro for r in out
+        if r.doc_id not in en and r.n_feats > 0)
+    assert mean_en > mean_other
+    empty = by_id[99990]
+    assert empty.n_feats == 0 and empty.logratio_micro == 0 \
+        and empty.weight == 1.0
+
+
+def test_dsir_importance_partition_invariant(spark):
+    from ulp_spark.operators import classifier
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter("lang = 'en'")
+    a = classifier.dsir_importance(
+        docs.repartition(1), "text", "doc_id", tgt)
+    b = classifier.dsir_importance(
+        docs.repartition(13), "text", "doc_id", tgt)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_source_js_divergence_hand_case(spark):
+    """Hand-computable 2-source case + identical-distribution zero +
+    disjoint-vocab pair = ln 2; null source rides '__null__'."""
+    import math
+
+    from ulp_spark.operators import tokens
+
+    rows = [
+        ("a1", [1, 1, 2], "A"),
+        ("b1", [1, 2, 2], "B"),
+        ("c1", [9, 9, 9], "C"),
+        ("n1", [1, 2], None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+    got = {(r.source_a, r.source_b): r for r in
+           tokens.source_js_divergence(df).collect()}
+    assert len(got) == 6  # C(4,2) incl. __null__
+    # A vs B: p = (2/3, 1/3), q = (1/3, 2/3) over tokens {1,2}
+    p, q = [2 / 3, 1 / 3], [1 / 3, 2 / 3]
+    js = sum(0.5 * (pi * math.log(2 * pi / (pi + qi))
+                    + qi * math.log(2 * qi / (pi + qi)))
+             for pi, qi in zip(p, q))
+    ab = got[("A", "B")]
+    assert abs(ab.js_nats - js) < 2e-6 and ab.n_common_types == 2
+    # A vs C: disjoint vocab -> exactly ln 2 (in micro-nats)
+    ac = got[("A", "C")]
+    assert ac.n_common_types == 0
+    assert ac.js_micro == round(1e6 * math.log(2.0))
+    # __null__ vs A present
+    assert ("A", "__null__") in got
+    # identical distributions -> 0
+    df2 = spark.createDataFrame(
+        [("x", [1, 2, 3], "X"), ("y", [1, 2, 3], "Y")],
+        "doc_id string, tokens array<int>, source string")
+    xy = tokens.source_js_divergence(df2).collect()[0]
+    assert xy.js_micro == 0 and xy.n_common_types == 3
+
+
+def test_source_js_divergence_partition_invariant(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    a = tokens.source_js_divergence(sequences(spark, 800, 2))
+    b = tokens.source_js_divergence(sequences(spark, 800, 11))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

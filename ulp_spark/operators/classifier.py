@@ -123,3 +123,153 @@ def linear_quality_score_sql(
         FROM (SELECT {id_col} FROM {table}) t
         LEFT JOIN scored sc USING ({id_col})
     """
+
+
+def dsir_importance(
+    df: DataFrame, text_col: str, id_col: str, target: DataFrame,
+    target_text_col: str | None = None, dim: int = HASH_DIM,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document log
+    importance ratio log p_target(x) / p_raw(x) under bag-of-hashed-
+    n-gram unigram models — the principled replacement for a binary
+    quality classifier when the goal is to RESAMPLE raw data toward a
+    target domain (compose with sampling.weighted_sample on
+    exp(logratio) for the paper's resampling step).
+
+    Model: both corpora are reduced to counts over the same ``dim``
+    hashed word uni+bigram buckets (classifier.feature_bucket — the
+    hashing trick, md5-portable across engines); per-bucket weight
+    lambda_b = ln((t_b + alpha) / (T + alpha*dim))
+             - ln((r_b + alpha) / (R + alpha*dim))
+    (add-alpha smoothing, so buckets unseen in the target get a finite
+    negative weight); per-doc logratio = sum of lambda over the doc's
+    feature occurrences.
+
+    Numeric determinism: lambda is materialized in INTEGER micro-nats
+    (round(1e6 * ln-ratio) on identical integer inputs — the
+    unigram_logprob_table pattern), so the per-doc sum is exact integer
+    arithmetic in any aggregation order on any engine.
+
+    Returns (id, n_feats, logratio_micro, weight) for EVERY row of
+    ``df`` — empty/null text gets n_feats 0, logratio 0, weight 1.0;
+    weight = round(exp(logratio_micro / 1e6), 6) is the resampling
+    weight.
+
+    Scale shape: the bucket-weight table is bounded by ``dim`` rows
+    (never corpus scale) and broadcast; the raw side is ONE explode +
+    two map-side-combined aggregates (bucket counts, then the per-doc
+    sum); the target corpus (small by DSIR's construction) contributes
+    one bounded aggregate.  Corpus text never shuffles — only (id,
+    bucket) pairs move.  No UDF, no collect, no driver state.
+    """
+    tcol = target_text_col or text_col
+
+    def feats(frame: DataFrame, col: str) -> DataFrame:
+        return (
+            frame.select(F.col(id_col),
+                         F.explode_outer(_features(F.col(col))).alias("f"))
+            .select(id_col, feature_bucket(F.col("f"), dim).alias("bucket"))
+        )
+
+    from ulp_spark.session import seam
+
+    # the exploded corpus-feature frame feeds the bucket counts AND the
+    # final per-doc sum — seam it ONCE or Catalyst re-derives the explode
+    # per consumer (the recorded fan-out rule)
+    raw_feats = seam(feats(df, text_col))
+    r_counts = (raw_feats.filter(F.col("bucket").isNotNull())
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("r")))
+    t_counts = (feats(target, tcol).filter(F.col("bucket").isNotNull())
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("t")))
+    r_tot = r_counts.agg(F.sum("r").alias("__r_all"))
+    t_tot = t_counts.agg(F.sum("t").alias("__t_all"))
+    lam = (
+        r_counts.join(t_counts, "bucket", "full_outer")
+        .crossJoin(F.broadcast(r_tot)).crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            F.round(F.lit(1e6) * (
+                F.log((F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                       + F.lit(alpha))
+                      / (F.coalesce(F.col("__t_all"), F.lit(0)).cast("double")
+                         + F.lit(alpha * dim)))
+                - F.log((F.coalesce(F.col("r"), F.lit(0)).cast("double")
+                         + F.lit(alpha))
+                        / (F.coalesce(F.col("__r_all"), F.lit(0)).cast("double")
+                           + F.lit(alpha * dim)))
+            )).cast("bigint").alias("lam_micro"))
+    )
+    weighted = (
+        raw_feats.join(F.broadcast(lam), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.when(F.col("bucket").isNull(), F.lit(0))
+                   .otherwise(F.col("lam_micro"))).alias("logratio_micro"),
+             F.sum(F.col("bucket").isNotNull().cast("int"))
+             .alias("n_feats"))
+    )
+    return weighted.select(
+        id_col,
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        F.coalesce(F.col("logratio_micro"), F.lit(0)).cast("bigint")
+        .alias("logratio_micro"),
+        F.round(F.exp(F.coalesce(F.col("logratio_micro"), F.lit(0))
+                      .cast("double") / F.lit(1e6)), 6).alias("weight"),
+    )
+
+
+def dsir_importance_sql(
+    table: str, text_col: str, id_col: str, target_pred: str,
+    dim: int = HASH_DIM, alpha: float = 1.0,
+) -> str:
+    """DuckDB twin; ``target_pred`` is a WHERE predicate over ``table``
+    selecting the target corpus (the driver query's shape — target as a
+    filtered view of the same raw table)."""
+    toks = word_tokens_sql(f"coalesce({text_col}, '')")
+    bucket = feature_bucket_sql("f", dim)
+    return f"""
+        WITH raw_feats AS (
+          SELECT {id_col},
+                 {bucket} AS bucket
+          FROM (
+            SELECT {id_col},
+                   unnest(list_concat({toks}, {word_grams_sql(toks, 2)})) AS f
+            FROM {table}
+          )
+        ),
+        tgt_feats AS (
+          SELECT {bucket} AS bucket
+          FROM (
+            SELECT unnest(list_concat({toks}, {word_grams_sql(toks, 2)})) AS f
+            FROM {table} WHERE {target_pred}
+          )
+        ),
+        rc AS (SELECT bucket, count(*) AS r FROM raw_feats GROUP BY bucket),
+        tc AS (SELECT bucket, count(*) AS t FROM tgt_feats GROUP BY bucket),
+        tot AS (SELECT (SELECT coalesce(sum(r), 0) FROM rc) AS R,
+                       (SELECT coalesce(sum(t), 0) FROM tc) AS T),
+        lam AS (
+          SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+                 CAST(round(1e6 * (
+                   ln((coalesce(tc.t, 0)::DOUBLE + {alpha})
+                      / (tot.T::DOUBLE + {alpha * dim}))
+                   - ln((coalesce(rc.r, 0)::DOUBLE + {alpha})
+                        / (tot.R::DOUBLE + {alpha * dim}))
+                 )) AS BIGINT) AS lam_micro
+          FROM rc FULL OUTER JOIN tc USING (bucket) CROSS JOIN tot
+        ),
+        scored AS (
+          SELECT f.{id_col},
+                 sum(l.lam_micro) AS s,
+                 count(*) AS n_feats
+          FROM raw_feats f JOIN lam l USING (bucket)
+          GROUP BY f.{id_col}
+        )
+        SELECT t.{id_col},
+               coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+               coalesce(sc.s, 0)::BIGINT AS logratio_micro,
+               round(exp(coalesce(sc.s, 0)::DOUBLE / 1e6), 6) AS weight
+        FROM (SELECT {id_col} FROM {table}) t
+        LEFT JOIN scored sc USING ({id_col})
+    """

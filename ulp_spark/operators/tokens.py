@@ -1989,3 +1989,280 @@ def fim_transform_sql(
                apply AS is_fim
         FROM r
     """
+
+
+def span_corruption(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    rate: float = 0.15, span_len: int = 3, sentinel_base: int = 51000,
+    seed: str = "sc0",
+) -> DataFrame:
+    """T5-style span-corruption rewrite (Raffel et al. 2020 S3.1.4, the
+    denoising pretraining objective): the sequence is cut into
+    consecutive ``span_len``-token blocks and each block is corrupted
+    with probability ``rate``; corrupted block i is replaced by sentinel
+    ``sentinel_base + i`` in the INPUTS stream and emitted as
+    ``[sentinel_i, tokens...]`` in the TARGETS stream, which closes with
+    a final sentinel ``sentinel_base + n_spans`` (the paper's layout).
+    Sentinel ids must live outside the corpus vocabulary (caller's
+    contract, as for fim_transform).
+
+    Deviation from the paper, documented: T5 draws span lengths from a
+    randomized segment partition and merges adjacent noise spans; this
+    variant uses fixed ``span_len`` blocks with an independent
+    deterministic coin per block (adjacent corrupted blocks keep their
+    own sentinels).  Expected corruption mass is still ``rate`` and the
+    layout/semantics of inputs/targets match the paper; in exchange
+    every decision derives from sampling._uniform01's 52-bit md5 uniform
+    keyed on (seed, id, block) — partition-invariant, identical in the
+    DuckDB twin, stable across task retries (rand() would re-deal — on a
+    10^12-row preprocessing job, retry-stability of the rewrite is a
+    correctness property).
+
+    Returns (id, inputs, targets, n_spans).  Non-sentinel token MULTISET
+    over inputs+targets equals the original tokens per row (pinned in
+    pytest) — corruption splits, never drops.
+
+    Scale shape: per-row JVM array algebra (sequence/filter/transform/
+    slice/flatten) in ONE codegen stage — no shuffle, no UDF, no
+    explode; output co-partitions with the input.  The array_position
+    ordinal lookup is O(blocks^2) per row worst case with block counts
+    bounded by n_tok/span_len — arithmetic on in-register ints, not data
+    movement.
+    """
+    from ulp_spark.operators.sampling import _uniform01
+
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    toks = F.col(tokens_col)
+    idc = F.col(id_col)
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(float(span_len))).cast("int")
+    blocks = F.when(n > 0, F.sequence(F.lit(0), nb - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+
+    def coin(b):
+        key = F.concat_ws("#", idc.cast("string"), b.cast("string"))
+        return _uniform01(key, seed) < F.lit(rate)
+
+    corrupted = F.filter(blocks, coin)
+    base = F.lit(sentinel_base)
+
+    def block_slice(b):
+        return F.slice(toks, b * span_len + 1, span_len)
+
+    inputs = F.flatten(F.transform(
+        blocks,
+        lambda b: F.when(
+            F.array_position(corrupted, b) > 0,
+            F.array((base + F.array_position(corrupted, b).cast("int") - 1)
+                    .cast("int")))
+        .otherwise(block_slice(b))))
+    targets = F.when(
+        n > 0,
+        F.concat(
+            F.flatten(F.transform(
+                corrupted,
+                lambda b, i: F.concat(F.array((base + i).cast("int")),
+                                      block_slice(b)))),
+            F.array((base + F.size(corrupted)).cast("int")))) \
+        .otherwise(F.array().cast("array<int>"))
+    return df.select(
+        idc,
+        inputs.alias("inputs"),
+        targets.alias("targets"),
+        F.size(corrupted).alias("n_spans"),
+    )
+
+
+def span_corruption_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    rate: float = 0.15, span_len: int = 3, sentinel_base: int = 51000,
+    seed: str = "sc0",
+) -> str:
+    from ulp_spark.operators.sampling import _uniform01_sql
+
+    u = _uniform01_sql(
+        f"({id_col} || '#' || CAST(b AS VARCHAR))", seed)
+    L = span_len
+    return f"""
+        WITH s AS (
+          SELECT {id_col}, {tokens_col} AS t, len({tokens_col}) AS n,
+                 CAST(ceil(len({tokens_col}) / {float(L)!r}) AS INT) AS nb
+          FROM {table}
+        ),
+        c AS (
+          SELECT {id_col}, t, n, nb,
+                 (CASE WHEN n > 0 THEN
+                    list_filter(range(0, nb), b -> {u} < {rate})
+                  ELSE [] END) AS corrupted
+          FROM s
+        )
+        SELECT {id_col},
+          CASE WHEN n > 0 THEN
+            flatten(list_transform(range(0, nb), b ->
+              CASE WHEN list_contains(corrupted, b)
+                   THEN [CAST({sentinel_base} + list_position(corrupted, b)
+                              - 1 AS INTEGER)]
+                   ELSE t[(b*{L}+1):((b+1)*{L})] END))
+          ELSE CAST([] AS INTEGER[]) END AS inputs,
+          CASE WHEN n > 0 THEN
+            flatten(list_transform(corrupted, (b, i) ->
+              [CAST({sentinel_base} + i - 1 AS INTEGER)]
+              || t[(b*{L}+1):((b+1)*{L})]))
+            || [CAST({sentinel_base} + len(corrupted) AS INTEGER)]
+          ELSE CAST([] AS INTEGER[]) END AS targets,
+          CAST(len(corrupted) AS INT) AS n_spans
+        FROM c
+    """
+
+
+def source_js_divergence(
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source token
+    unigram distributions — the mixture-design complement of
+    source_token_drift (each source vs the corpus) and
+    cross_source_dup_matrix (shared exact sequences): JS answers "how
+    far apart are two sources' token distributions", the quantity
+    mixture/temperature tuning and duplicate-domain detection read.
+    Symmetric, bounded in [0, ln 2], 0 iff identical.
+
+    One row per unordered source pair (source_a < source_b):
+    (source_a, source_b, n_common_types, js_micro, js_nats).  Pairs with
+    NO common token types still appear (js = ln 2 exactly).  Null
+    sources ride the '__null__' bucket (source_token_drift convention).
+
+    Numeric determinism: JS decomposes per common token t into
+      0.5 * [p ln(2p/(p+q)) + q ln(2q/(p+q))]
+    with p = c_a/T_a, q = c_b/T_b.  Every term is computed from exact
+    integer counts via the same double ops on both engines, rounded to
+    INTEGER micro-nats, and integer-summed (order-free); the one-sided
+    mass (tokens in a alone contribute p ln 2) is recovered in closed
+    form from integer totals — js_micro = round-exact cross-engine, no
+    float-sum drift.
+
+    Scale shape: ONE pass over the exploded tokens into the (source,
+    token) count aggregate — map-side combine collapses to |S| x |vocab|
+    rows before the only corpus-scale shuffle; totals are re-aggregated
+    FROM those counts (never a rescan); the pair self-join is at vocab
+    scale with multiplicity |S| per row, the pair frame is |S|^2
+    broadcast.  Token payloads never move.
+    """
+    src = F.coalesce(F.col(source_col), F.lit("__null__"))
+    st = (
+        df.select(src.alias("source"), F.explode(F.col(tokens_col)).alias("t"))
+        .groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = seam(st)  # feeds totals AND both sides of the pair join
+    tot = st.groupBy("source").agg(F.sum("c").alias("tt"))
+    a = (st.join(tot, "source")
+         .select(F.col("source").alias("sa"), "t",
+                 F.col("c").alias("ca"), F.col("tt").alias("ta")))
+    b = (st.join(tot, "source")
+         .select(F.col("source").alias("sb"), "t",
+                 F.col("c").alias("cb"), F.col("tt").alias("tb")))
+    pa = F.col("ca").cast("double") / F.col("ta").cast("double")
+    pb = F.col("cb").cast("double") / F.col("tb").cast("double")
+    num = (F.col("ca") * F.col("tb")).cast("bigint")
+    den = (F.col("ca") * F.col("tb") + F.col("cb") * F.col("ta")) \
+        .cast("bigint")
+    ra = F.lit(2.0) * num.cast("double") / den.cast("double")
+    rb = F.lit(2.0) * (F.col("cb") * F.col("ta")).cast("double") \
+        / den.cast("double")
+    term_micro = F.round(
+        F.lit(500000.0) * (pa * F.log(ra) + pb * F.log(rb))
+    ).cast("bigint")
+    common = (
+        a.join(b, "t")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(term_micro).alias("s_common"),
+             F.sum("ca").alias("mass_a"),
+             F.sum("cb").alias("mass_b"),
+             F.count(F.lit(1)).alias("n_common_types"))
+    )
+    pairs = (
+        tot.select(F.col("source").alias("sa"), F.col("tt").alias("ta"))
+        .crossJoin(F.broadcast(
+            tot.select(F.col("source").alias("sb"), F.col("tt").alias("tb"))))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    only_micro = F.round(
+        F.lit(500000.0) * F.log(F.lit(2.0)) * (
+            (F.col("ta") - F.coalesce(F.col("mass_a"), F.lit(0)))
+            .cast("double") / F.col("ta").cast("double")
+            + (F.col("tb") - F.coalesce(F.col("mass_b"), F.lit(0)))
+            .cast("double") / F.col("tb").cast("double"))
+    ).cast("bigint")
+    js_micro = (F.coalesce(F.col("s_common"), F.lit(0)) + only_micro) \
+        .cast("bigint")
+    return (
+        pairs.join(common, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.coalesce(F.col("n_common_types"), F.lit(0)).cast("bigint")
+            .alias("n_common_types"),
+            js_micro.alias("js_micro"),
+            F.round(js_micro.cast("double") / F.lit(1e6), 6)
+            .alias("js_nats"),
+        )
+    )
+
+
+def source_js_divergence_sql(
+    table: str, tokens_col: str = "tokens", source_col: str = "source",
+) -> str:
+    return f"""
+        WITH st AS (
+          SELECT coalesce({source_col}, '__null__') AS source,
+                 unnest({tokens_col}) AS t
+          FROM {table}
+        ),
+        cnt AS (
+          SELECT source, t, count(*) AS c FROM st GROUP BY source, t
+        ),
+        tot AS (SELECT source, sum(c) AS tt FROM cnt GROUP BY source),
+        joined AS (
+          SELECT a.source AS sa, b.source AS sb,
+                 a.c AS ca, ta.tt AS ta, b.c AS cb, tb.tt AS tb
+          FROM cnt a
+          JOIN cnt b ON a.t = b.t AND a.source < b.source
+          JOIN tot ta ON ta.source = a.source
+          JOIN tot tb ON tb.source = b.source
+        ),
+        common AS (
+          SELECT sa, sb,
+                 sum(CAST(round(500000.0 * (
+                   (ca::DOUBLE / ta::DOUBLE)
+                     * ln(2.0 * (ca * tb)::DOUBLE
+                          / (ca * tb + cb * ta)::DOUBLE)
+                   + (cb::DOUBLE / tb::DOUBLE)
+                     * ln(2.0 * (cb * ta)::DOUBLE
+                          / (ca * tb + cb * ta)::DOUBLE)
+                 )) AS BIGINT)) AS s_common,
+                 sum(ca) AS mass_a,
+                 sum(cb) AS mass_b,
+                 count(*) AS n_common_types
+          FROM joined GROUP BY sa, sb
+        ),
+        pairs AS (
+          SELECT a.source AS sa, a.tt AS ta, b.source AS sb, b.tt AS tb
+          FROM tot a JOIN tot b ON a.source < b.source
+        )
+        SELECT p.sa AS source_a, p.sb AS source_b,
+               coalesce(c.n_common_types, 0)::BIGINT AS n_common_types,
+               (coalesce(c.s_common, 0)
+                + CAST(round(500000.0 * ln(2.0) * (
+                    (p.ta - coalesce(c.mass_a, 0))::DOUBLE / p.ta::DOUBLE
+                    + (p.tb - coalesce(c.mass_b, 0))::DOUBLE / p.tb::DOUBLE
+                  )) AS BIGINT))::BIGINT AS js_micro,
+               round((coalesce(c.s_common, 0)
+                + CAST(round(500000.0 * ln(2.0) * (
+                    (p.ta - coalesce(c.mass_a, 0))::DOUBLE / p.ta::DOUBLE
+                    + (p.tb - coalesce(c.mass_b, 0))::DOUBLE / p.tb::DOUBLE
+                  )) AS BIGINT))::DOUBLE / 1e6, 6) AS js_nats
+        FROM pairs p LEFT JOIN common c ON c.sa = p.sa AND c.sb = p.sb
+    """
