@@ -179,10 +179,14 @@ def dsir_importance(
     # final per-doc sum — seam it ONCE or Catalyst re-derives the explode
     # per consumer (the recorded fan-out rule)
     raw_feats = seam(feats(df, text_col))
-    r_counts = (raw_feats.filter(F.col("bucket").isNotNull())
-                .groupBy("bucket").agg(F.count(F.lit(1)).alias("r")))
-    t_counts = (feats(target, tcol).filter(F.col("bucket").isNotNull())
-                .groupBy("bucket").agg(F.count(F.lit(1)).alias("t")))
+    # the count frames each feed TWO consumers (the lambda join and
+    # their totals) — unseamed, the target explode and the corpus-scale
+    # raw aggregation re-derive per consumer (the fan-out rule's fifth
+    # sighting, caught in this op's plan audit).  Both are <= dim rows.
+    r_counts = seam(raw_feats.filter(F.col("bucket").isNotNull())
+                    .groupBy("bucket").agg(F.count(F.lit(1)).alias("r")))
+    t_counts = seam(feats(target, tcol).filter(F.col("bucket").isNotNull())
+                    .groupBy("bucket").agg(F.count(F.lit(1)).alias("t")))
     r_tot = r_counts.agg(F.sum("r").alias("__r_all"))
     t_tot = t_counts.agg(F.sum("t").alias("__t_all"))
     lam = (

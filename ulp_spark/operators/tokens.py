@@ -2156,7 +2156,9 @@ def source_js_divergence(
         .groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     )
     st = seam(st)  # feeds totals AND both sides of the pair join
-    tot = st.groupBy("source").agg(F.sum("c").alias("tt"))
+    # tot has THREE consumers (both join sides + the pair frame) — seam
+    # the |S|-row frame or each one re-aggregates the vocab-scale counts
+    tot = seam(st.groupBy("source").agg(F.sum("c").alias("tt")))
     a = (st.join(tot, "source")
          .select(F.col("source").alias("sa"), "t",
                  F.col("c").alias("ca"), F.col("tt").alias("ta")))
