@@ -1053,6 +1053,42 @@ def _q_seq_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.source_js_divergence(seq)
 
 
+def _q_seq_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022): deterministic R/X/S
+    routing + the matching rewrite (T5 span corruption at two
+    configurations; prefix-LM split), mode token prepended — three
+    map-only branches unioned, zero shuffle."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return tokens.denoiser_mix(seq, "tokens", "doc_id")
+
+
+def _q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per source (chars/token, tokens/word,
+    unk fraction) over the tokenize output joined back to the corpus —
+    integer-exact sums, one key-scale join, |sources|-row aggregate."""
+    from ulp_spark.operators import tokenizer
+
+    d = _docs(spark, sf_dir)
+    tok = tokenizer.tokenize(d.select("doc_id", "text"), "text",
+                             "doc_id", _TOKENIZE_VOCAB)
+    return tokenizer.fertility_stats(d, tok)
+
+
+def _q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling step: importance weights (target = the English
+    slice) -> Efraimidis-Spirakis weighted sampling without replacement,
+    k=100 — the full Xie et al. 2023 pipeline as ONE plan."""
+    from ulp_spark.operators import classifier, sampling
+
+    d = _docs(spark, sf_dir)
+    w = classifier.dsir_importance(
+        d, "text", "doc_id", d.filter(F.col("lang") == "en"))
+    return sampling.weighted_sample(w, "weight", "doc_id", k=100,
+                                    seed="dsir0")
+
+
 def _q_seq_mixed_writer_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: temperature-mixed epoch (apply_mixing_plan) ->
     per-instance token loads -> snake-deal token-balanced assignment
@@ -1367,6 +1403,13 @@ _PYTEST_ONLY = frozenset({
     "emb_ivf_topk",
     "doc_contamination",
     "text_quality",
+    # and three for the wave-5 ops (seq_denoiser_mix,
+    # doc_tokenizer_fertility, doc_dsir_sample): the text-side LSH rows
+    # park because the token-level twins (seq_minhash_candidates,
+    # seq_dedup_groups) share the same dedup engine and stay active
+    "sanitize_event_types",
+    "doc_minhash_candidates",
+    "doc_dedup_groups",
     # second r4 rotation: the three r4-new token ops take driver slots;
     # the TPC-H join shapes (green r01-r03, plans pinned in PLANS.md)
     # park here under the same pytest-parity gate
@@ -1473,6 +1516,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_span_corruption": _q_seq_span_corruption,
         "doc_dsir_weights": _q_doc_dsir_weights,
         "seq_source_js": _q_seq_source_js,
+        "seq_denoiser_mix": _q_seq_denoiser_mix,
+        "doc_tokenizer_fertility": _q_doc_tokenizer_fertility,
+        "doc_dsir_sample": _q_doc_dsir_sample,
         "seq_length_buckets": _q_seq_length_buckets,
         "doc_split_counts": _q_doc_split_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -1744,6 +1790,31 @@ def _source_js_sql() -> str:
 
     return tokens.source_js_divergence_sql(
         f"({fixtures.sequences_sql(N_FIXTURE)})")
+
+
+def _denoiser_mix_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    return tokens.denoiser_mix_sql(
+        f"({fixtures.sequences_sql(N_FIXTURE)})", "tokens", "doc_id")
+
+
+def _tokenizer_fertility_sql() -> str:
+    from ulp_spark.operators import tokenizer
+
+    return tokenizer.fertility_stats_sql(
+        "documents",
+        tokenizer.tokenize_sql("documents", "text", "doc_id",
+                               _TOKENIZE_VOCAB))
+
+
+def _dsir_sample_sql() -> str:
+    from ulp_spark.operators import classifier, sampling
+
+    inner = classifier.dsir_importance_sql(
+        "documents", "text", "doc_id", "lang = 'en'")
+    return sampling.weighted_sample_sql(
+        f"({inner})", "weight", "doc_id", k=100, seed="dsir0")
 
 
 def _curriculum_sql() -> str:
@@ -2349,6 +2420,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_span_corruption": _span_corruption_sql(),
         "doc_dsir_weights": _dsir_weights_sql(),
         "seq_source_js": _source_js_sql(),
+        "seq_denoiser_mix": _denoiser_mix_sql(),
+        "doc_tokenizer_fertility": _tokenizer_fertility_sql(),
+        "doc_dsir_sample": _dsir_sample_sql(),
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),

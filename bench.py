@@ -290,6 +290,25 @@ def main() -> None:
         nd_aug, "tokens", "doc_id").count()
     tok_groups_sec = round(time.perf_counter() - t0g, 3)
 
+    # wave-4 ops (r5): span corruption (map-only rewrite), the source
+    # JS-divergence matrix (one corpus-scale aggregate + vocab-scale pair
+    # join), and DSIR importance weights over the replicated doc corpus
+    # (hashed-feature explode + dim-bounded broadcast) — measured so the
+    # three newest families stay visible in BENCH_rN.
+    from ulp_spark.operators import classifier as _clf  # noqa: E402
+    sc_in = fixtures.sequences(spark, n_seqs)
+    t0sc = time.perf_counter()
+    sc_toks = toklib.span_corruption(sc_in, "tokens", "doc_id").agg(
+        F.sum(F.size("inputs")), F.sum(F.size("targets"))).collect()[0]
+    span_sec = round(time.perf_counter() - t0sc, 3)
+    t0js = time.perf_counter()
+    n_js_pairs = toklib.source_js_divergence(sc_in).count()
+    js_sec = round(time.perf_counter() - t0js, 3)
+    t0d = time.perf_counter()
+    dsir_rows = _clf.dsir_importance(
+        big, "text", "doc_id", big.filter(F.col("lang") == "en")).count()
+    dsir_sec = round(time.perf_counter() - t0d, 3)
+
     # 10x data anchor: the same full DAG at 10x the sequence count, same
     # cores — evidence that throughput holds as data scales (the second
     # axis next to the core-scaling pair in BENCH.md).
@@ -369,6 +388,21 @@ def main() -> None:
                         "candidates_sec": tok_cand_sec,
                         "clustered_rows": int(n_tok_groups),
                         "verified_groups_sec": tok_groups_sec},
+        "span_corruption": {
+            "seqs": n_seqs,
+            "tokens_out": int(sc_toks[0]) + int(sc_toks[1]),
+            "sec": span_sec,
+            "seqs_per_sec": round(n_seqs / span_sec, 1) if span_sec else None,
+        },
+        "source_js": {"seqs": n_seqs, "pairs": int(n_js_pairs),
+                      "sec": js_sec},
+        "dsir": {
+            "docs": n_docs,
+            "rows": int(dsir_rows),
+            "sec": dsir_sec,
+            "docs_per_sec": (round(n_docs / dsir_sec, 1)
+                             if dsir_sec else None),
+        },
         "scale10x": {
             "seqs": n_seqs * 10,
             "sec": round(scale10_sec, 3),

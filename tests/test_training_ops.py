@@ -2875,3 +2875,88 @@ def test_source_js_divergence_partition_invariant(spark):
     a = tokens.source_js_divergence(sequences(spark, 800, 2))
     b = tokens.source_js_divergence(sequences(spark, 800, 11))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_denoiser_mix_modes_and_invariants(spark):
+    """UL2 R/X/S routing: each row lands in exactly one mode, the mode
+    token leads the inputs, S rows have the prefix-LM layout, and the
+    non-sentinel multiset is preserved in every mode."""
+    from collections import Counter
+
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    BASE, R, X, S = 51000, 52000, 52001, 52002
+    seq = sequences(spark, 300).select("doc_id", "tokens")
+    orig = {r.doc_id: list(r.tokens) for r in seq.collect()}
+    rows = tokens.denoiser_mix(seq).collect()
+    assert len(rows) == 300  # every row exactly once
+    modes = Counter(r.mode for r in rows)
+    assert set(modes) == {"R", "X", "S"} and min(modes.values()) > 50
+    for r in rows:
+        inp, tgt = list(r.inputs), list(r.targets)
+        body = [t for t in inp + tgt if t < BASE]
+        assert Counter(body) == Counter(orig[r.doc_id])
+        if r.mode == "R":
+            assert inp[0] == R
+        elif r.mode == "X":
+            assert inp[0] == X
+        else:
+            assert inp[0] == S and r.n_spans == 1
+            # prefix-LM: [S] prefix [sent] / [sent] suffix
+            assert inp[-1] == BASE and tgt[0] == BASE
+            assert inp[1:-1] + tgt[1:] == orig[r.doc_id]
+
+
+def test_denoiser_mix_partition_invariant(spark):
+    from ulp_spark.fixtures import sequences
+    from ulp_spark.operators import tokens
+
+    a = tokens.denoiser_mix(sequences(spark, 200, 1))
+    b = tokens.denoiser_mix(sequences(spark, 200, 7))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fertility_stats_hand_case_and_unk(spark):
+    """Hand-computable fertility over a tiny vocab, incl. an UNK-heavy
+    source and a null source riding '__null__'."""
+    from ulp_spark.operators import tokenizer
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "clean"), (2, "ab 99", "noisy"), (3, "ab", None)],
+        "doc_id int, text string, source string")
+    tok = tokenizer.tokenize(docs, "text", "doc_id", ["ab", " ", "9"])
+    out = {r.source: r for r in
+           tokenizer.fertility_stats(docs, tok).collect()}
+    c = out["clean"]  # "ab ab" -> [ab,' ',ab]: 3 toks, 5 chars, 2 words
+    assert (c.n_docs, c.n_tokens, c.n_unk, c.n_chars, c.n_words) \
+        == (1, 3, 0, 5, 2)
+    assert c.chars_per_token == round(5 / 3, 6)
+    assert c.tokens_per_word == 1.5 and c.unk_frac == 0.0
+    n = out["noisy"]  # "ab 99" -> [ab,' ','9','9']: 4 toks, 0 unk
+    assert n.n_tokens == 4 and n.unk_frac == 0.0
+    assert "__null__" in out
+    # now an actually-unknown char
+    docs2 = spark.createDataFrame([(1, "abz", "s")],
+                                  "doc_id int, text string, source string")
+    tok2 = tokenizer.tokenize(docs2, "text", "doc_id", ["ab"])
+    r2 = tokenizer.fertility_stats(docs2, tok2).collect()[0]
+    assert r2.n_tokens == 2 and r2.n_unk == 1 and r2.unk_frac == 0.5
+
+
+def test_dsir_sample_prefers_target_like_docs(spark):
+    """The resampling composition: sampled docs skew toward the target
+    domain relative to the raw corpus base rate."""
+    from ulp_spark.operators import classifier, sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = classifier.dsir_importance(
+        docs, "text", "doc_id", docs.filter("lang = 'en'"))
+    sampled = sampling.weighted_sample(w, "weight", "doc_id", k=60,
+                                       seed="t")
+    ids = [r.doc_id for r in sampled.collect()]
+    assert len(ids) == 60
+    en = {r.doc_id for r in docs.filter("lang = 'en'").collect()}
+    frac_sampled = sum(1 for i in ids if i in en) / len(ids)
+    frac_base = len(en) / docs.count()
+    assert frac_sampled > frac_base

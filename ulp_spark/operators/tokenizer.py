@@ -373,3 +373,121 @@ def bpe_tokenize_sql(
                  len(string_split(s, chr(1))) END::INT AS n_tok
         FROM final
     """
+
+
+def fertility_stats(
+    docs: DataFrame, tok: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", source_col: str = "source", unk_id: int = -1,
+) -> DataFrame:
+    """Tokenizer fertility report per source — the standard tokenizer-
+    evaluation table (how many tokens the tokenizer spends per char /
+    per word, and how much of the stream falls to UNK) computed over a
+    (docs, tokenized) pair, e.g. ``tokenize``/``bpe_tokenize`` output:
+
+    (source, n_docs, n_tokens, n_unk, n_chars, n_words,
+     chars_per_token, tokens_per_word, unk_frac)
+
+    High tokens_per_word / low chars_per_token = an ill-fitting vocab
+    for that source (the signal vocab sizing and per-language coverage
+    decisions read); unk_frac > 0 quantifies out-of-vocab mass.
+
+    Cross-engine exactness: every aggregate is an integer sum (token,
+    unk, char, word counts); the three ratios are single divisions of
+    exact bigints rounded to 6 dp — identical on both engines.  Null
+    sources ride '__null__' (source_token_drift convention); ratios are
+    NULL when their denominator is 0.
+
+    Scale shape: one key-scale join (docs ids against tokenized ids —
+    co-partitioned when ``tok`` came straight from ``tokenize``, which
+    preserves partitioning) followed by one map-side-combined aggregate
+    at |sources| rows.  Token arrays are reduced to per-row counts in
+    the scan projection — they never shuffle.
+    """
+    from ulp_spark.operators.curation import word_tokens
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    d = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(source_col), F.lit("__null__")).alias("__src"),
+        F.length(txt).cast("bigint").alias("__chars"),
+        F.size(word_tokens(txt)).cast("bigint").alias("__words"),
+    )
+    t = tok.select(
+        F.col(id_col),
+        F.col("n_tok").cast("bigint").alias("__ntok"),
+        F.size(F.filter(F.col("tokens"),
+                        lambda x: x == F.lit(unk_id))).cast("bigint")
+        .alias("__nunk"),
+    )
+    g = (
+        d.join(t, id_col)
+        .groupBy(F.col("__src").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__ntok").alias("n_tokens"),
+             F.sum("__nunk").alias("n_unk"),
+             F.sum("__chars").alias("n_chars"),
+             F.sum("__words").alias("n_words"))
+    )
+    return g.select(
+        "source", "n_docs", "n_tokens", "n_unk", "n_chars", "n_words",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_chars").cast("double")
+                       / F.col("n_tokens").cast("double"), 6))
+        .alias("chars_per_token"),
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("n_tokens").cast("double")
+                       / F.col("n_words").cast("double"), 6))
+        .alias("tokens_per_word"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_unk").cast("double")
+                       / F.col("n_tokens").cast("double"), 6))
+        .alias("unk_frac"),
+    )
+
+
+def fertility_stats_sql(
+    docs_table: str, tok_sql: str, text_col: str = "text",
+    id_col: str = "doc_id", source_col: str = "source", unk_id: int = -1,
+) -> str:
+    """DuckDB twin; ``tok_sql`` is a subquery yielding (id, tokens,
+    n_tok) — e.g. tokenize_sql(...)."""
+    from ulp_spark.operators.curation import word_tokens_sql
+
+    txt = f"coalesce({text_col}, '')"
+    return f"""
+        WITH d AS (
+          SELECT {id_col},
+                 coalesce({source_col}, '__null__') AS source,
+                 length({txt})::BIGINT AS chars,
+                 len({word_tokens_sql(txt)})::BIGINT AS words
+          FROM {docs_table}
+        ),
+        t AS (
+          SELECT {id_col}, n_tok::BIGINT AS ntok,
+                 len(list_filter(tokens, x -> x = {unk_id}))::BIGINT AS nunk
+          FROM ({tok_sql})
+        ),
+        g AS (
+          SELECT d.source,
+                 count(*) AS n_docs,
+                 sum(t.ntok) AS n_tokens,
+                 sum(t.nunk) AS n_unk,
+                 sum(d.chars) AS n_chars,
+                 sum(d.words) AS n_words
+          FROM d JOIN t USING ({id_col})
+          GROUP BY d.source
+        )
+        SELECT source, n_docs::BIGINT AS n_docs,
+               n_tokens::BIGINT AS n_tokens, n_unk::BIGINT AS n_unk,
+               n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+               CASE WHEN n_tokens > 0
+                    THEN round(n_chars::DOUBLE / n_tokens::DOUBLE, 6)
+               END AS chars_per_token,
+               CASE WHEN n_words > 0
+                    THEN round(n_tokens::DOUBLE / n_words::DOUBLE, 6)
+               END AS tokens_per_word,
+               CASE WHEN n_tokens > 0
+                    THEN round(n_unk::DOUBLE / n_tokens::DOUBLE, 6)
+               END AS unk_frac
+        FROM g
+    """

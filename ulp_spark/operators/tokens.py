@@ -2046,21 +2046,36 @@ def span_corruption(
         key = F.concat_ws("#", idc.cast("string"), b.cast("string"))
         return _uniform01(key, seed) < F.lit(rate)
 
-    corrupted = F.filter(blocks, coin)
+    # Materialize the corrupted-block list ONCE per row in its own
+    # projection: referenced inline it would re-evaluate inside every
+    # transform-lambda element — nb x nb md5 calls per row (measured
+    # ~1 ms/row at 512 tokens before this split; CollapseProject keeps
+    # the stage split because the alias is expensive and multiply
+    # referenced, so this stays one codegen stage and zero shuffles).
+    staged = df.select(
+        idc, toks.alias("__t"), F.filter(blocks, coin).alias("__corr"))
+    toks2 = F.col("__t")
+    corrupted = F.col("__corr")
+    n2 = F.size(toks2)
     base = F.lit(sentinel_base)
 
     def block_slice(b):
-        return F.slice(toks, b * span_len + 1, span_len)
+        return F.slice(toks2, b * span_len + 1, span_len)
 
+    blocks2 = F.when(
+        n2 > 0,
+        F.sequence(F.lit(0),
+                   F.ceil(n2 / F.lit(float(span_len))).cast("int") - 1)) \
+        .otherwise(F.array().cast("array<int>"))
     inputs = F.flatten(F.transform(
-        blocks,
+        blocks2,
         lambda b: F.when(
             F.array_position(corrupted, b) > 0,
             F.array((base + F.array_position(corrupted, b).cast("int") - 1)
                     .cast("int")))
         .otherwise(block_slice(b))))
     targets = F.when(
-        n > 0,
+        n2 > 0,
         F.concat(
             F.flatten(F.transform(
                 corrupted,
@@ -2068,8 +2083,8 @@ def span_corruption(
                                       block_slice(b)))),
             F.array((base + F.size(corrupted)).cast("int")))) \
         .otherwise(F.array().cast("array<int>"))
-    return df.select(
-        idc,
+    return staged.select(
+        F.col(id_col),
         inputs.alias("inputs"),
         targets.alias("targets"),
         F.size(corrupted).alias("n_spans"),
@@ -2267,4 +2282,123 @@ def source_js_divergence_sql(
                     + (p.tb - coalesce(c.mass_b, 0))::DOUBLE / p.tb::DOUBLE
                   )) AS BIGINT))::DOUBLE / 1e6, 6) AS js_nats
         FROM pairs p LEFT JOIN common c ON c.sa = p.sa AND c.sb = p.sb
+    """
+
+
+def denoiser_mix(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    r_id: int = 52000, x_id: int = 52001, s_id: int = 52002,
+    sentinel_base: int = 51000, seed: str = "ul2",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers rewrite (Tay et al. 2022): each sequence
+    is deterministically routed to ONE of three denoising objectives and
+    rewritten accordingly, with the paper's mode token prepended to the
+    inputs stream:
+
+    * R-denoiser (regular): span_corruption at rate 0.15, 3-token spans
+      — the T5 objective; mode token ``r_id``.
+    * X-denoiser (extreme): span_corruption at rate 0.5, 12-token spans;
+      mode token ``x_id``.
+    * S-denoiser (sequential / prefix-LM): a deterministic split point j
+      in [0, n]; inputs = [s_id] + tokens[..j] + [sentinel], targets =
+      [sentinel] + tokens[j+1..]; mode token ``s_id``.
+
+    Mode choice and the S split point ride the same 52-bit md5 uniforms
+    as every rewrite here (keyed (seed, id)) — partition-invariant,
+    retry-stable, identical in the DuckDB twin.  Mode and sentinel ids
+    must sit outside the corpus vocabulary (caller's contract).
+
+    Returns (id, mode, inputs, targets, n_spans); mode in ('R','X','S'),
+    S rows report n_spans = 1.  Non-sentinel/non-mode token multiset
+    over inputs+targets equals the original tokens per row.
+
+    Scale shape: three filtered map-only branches unioned — each branch
+    is the underlying rewrite's zero-shuffle codegen stage; the union
+    adds no exchange, so the whole op stays map-only and co-partitioned
+    with the input.
+    """
+    from ulp_spark.operators.sampling import _uniform01
+
+    idc = F.col(id_col)
+    u_mode = _uniform01(idc, f"{seed}:mode")
+    third = F.lit(1.0) / F.lit(3.0)
+
+    def with_mode(frame: DataFrame, mode: str, mode_id: int) -> DataFrame:
+        return frame.select(
+            F.col(id_col), F.lit(mode).alias("mode"),
+            F.concat(F.array(F.lit(mode_id).cast("int")),
+                     F.col("inputs")).alias("inputs"),
+            F.col("targets"), F.col("n_spans"))
+
+    r_in = df.filter(u_mode < third)
+    x_in = df.filter((u_mode >= third) & (u_mode < third * 2))
+    s_in = df.filter(u_mode >= third * 2)
+
+    r_out = with_mode(
+        span_corruption(r_in, tokens_col, id_col, rate=0.15, span_len=3,
+                        sentinel_base=sentinel_base, seed=f"{seed}:R"),
+        "R", r_id)
+    x_out = with_mode(
+        span_corruption(x_in, tokens_col, id_col, rate=0.5, span_len=12,
+                        sentinel_base=sentinel_base, seed=f"{seed}:X"),
+        "X", x_id)
+
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    j = F.floor(_uniform01(idc, f"{seed}:split") * (n + 1)).cast("int")
+    sent = F.lit(sentinel_base).cast("int")
+    s_out = s_in.select(
+        idc, F.lit("S").alias("mode"),
+        F.concat(F.array(F.lit(s_id).cast("int")), F.slice(toks, 1, j),
+                 F.array(sent)).alias("inputs"),
+        F.concat(F.array(sent),
+                 F.when(n - j > 0, F.slice(toks, j + 1, n - j))
+                 .otherwise(F.array().cast("array<int>"))).alias("targets"),
+        F.lit(1).alias("n_spans"),
+    )
+    return r_out.unionByName(x_out).unionByName(s_out)
+
+
+def denoiser_mix_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    r_id: int = 52000, x_id: int = 52001, s_id: int = 52002,
+    sentinel_base: int = 51000, seed: str = "ul2",
+) -> str:
+    from ulp_spark.operators.sampling import _uniform01_sql
+
+    u_mode = _uniform01_sql(id_col, f"{seed}:mode")
+    u_split = _uniform01_sql(id_col, f"{seed}:split")
+    r_sql = span_corruption_sql(
+        f"(SELECT * FROM {table} WHERE ({u_mode}) < 1.0/3.0)",
+        tokens_col, id_col, rate=0.15, span_len=3,
+        sentinel_base=sentinel_base, seed=f"{seed}:R")
+    x_sql = span_corruption_sql(
+        f"(SELECT * FROM {table} WHERE ({u_mode}) >= 1.0/3.0 "
+        f"AND ({u_mode}) < (1.0/3.0) * 2)",
+        tokens_col, id_col, rate=0.5, span_len=12,
+        sentinel_base=sentinel_base, seed=f"{seed}:X")
+    return f"""
+        SELECT {id_col}, 'R' AS mode,
+               [CAST({r_id} AS INTEGER)] || inputs AS inputs,
+               targets, n_spans
+        FROM ({r_sql})
+        UNION ALL
+        SELECT {id_col}, 'X' AS mode,
+               [CAST({x_id} AS INTEGER)] || inputs AS inputs,
+               targets, n_spans
+        FROM ({x_sql})
+        UNION ALL
+        SELECT {id_col}, 'S' AS mode,
+               [CAST({s_id} AS INTEGER)] || t[1:j]
+                 || [CAST({sentinel_base} AS INTEGER)] AS inputs,
+               [CAST({sentinel_base} AS INTEGER)]
+                 || (CASE WHEN n - j > 0 THEN t[j+1:n]
+                     ELSE CAST([] AS INTEGER[]) END) AS targets,
+               1 AS n_spans
+        FROM (
+          SELECT {id_col}, {tokens_col} AS t, len({tokens_col}) AS n,
+                 CAST(floor(({u_split}) * (len({tokens_col}) + 1))
+                      AS INT) AS j
+          FROM {table} WHERE ({u_mode}) >= (1.0/3.0) * 2
+        )
     """
