@@ -296,7 +296,12 @@ def main() -> None:
     # (hashed-feature explode + dim-bounded broadcast) — measured so the
     # three newest families stay visible in BENCH_rN.
     from ulp_spark.operators import classifier as _clf  # noqa: E402
-    sc_in = fixtures.sequences(spark, n_seqs)
+    # 200k cap (span/js) and 100k-doc cap (dsir): all three are linear
+    # map/aggregate shapes, so rate extrapolates; uncapped they would
+    # dominate the bench wall at sf0.1 (span is ~85 md5 draws per row by
+    # design — one coin per 3-token block of a 256-token sequence).
+    sc_n = min(n_seqs, 200_000)
+    sc_in = fixtures.sequences(spark, sc_n)
     t0sc = time.perf_counter()
     sc_toks = toklib.span_corruption(sc_in, "tokens", "doc_id").agg(
         F.sum(F.size("inputs")), F.sum(F.size("targets"))).collect()[0]
@@ -304,9 +309,12 @@ def main() -> None:
     t0js = time.perf_counter()
     n_js_pairs = toklib.source_js_divergence(sc_in).count()
     js_sec = round(time.perf_counter() - t0js, 3)
+    dsir_in = big.filter(F.col("doc_id") % 5 == 0) if rep > 20 else big
+    n_dsir_docs = n_docs // 5 if rep > 20 else n_docs
     t0d = time.perf_counter()
     dsir_rows = _clf.dsir_importance(
-        big, "text", "doc_id", big.filter(F.col("lang") == "en")).count()
+        dsir_in, "text", "doc_id",
+        dsir_in.filter(F.col("lang") == "en")).count()
     dsir_sec = round(time.perf_counter() - t0d, 3)
 
     # 10x data anchor: the same full DAG at 10x the sequence count, same
@@ -389,18 +397,18 @@ def main() -> None:
                         "clustered_rows": int(n_tok_groups),
                         "verified_groups_sec": tok_groups_sec},
         "span_corruption": {
-            "seqs": n_seqs,
+            "seqs": sc_n,
             "tokens_out": int(sc_toks[0]) + int(sc_toks[1]),
             "sec": span_sec,
-            "seqs_per_sec": round(n_seqs / span_sec, 1) if span_sec else None,
+            "seqs_per_sec": round(sc_n / span_sec, 1) if span_sec else None,
         },
-        "source_js": {"seqs": n_seqs, "pairs": int(n_js_pairs),
+        "source_js": {"seqs": sc_n, "pairs": int(n_js_pairs),
                       "sec": js_sec},
         "dsir": {
-            "docs": n_docs,
+            "docs": n_dsir_docs,
             "rows": int(dsir_rows),
             "sec": dsir_sec,
-            "docs_per_sec": (round(n_docs / dsir_sec, 1)
+            "docs_per_sec": (round(n_dsir_docs / dsir_sec, 1)
                              if dsir_sec else None),
         },
         "scale10x": {
