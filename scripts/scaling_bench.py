@@ -119,8 +119,54 @@ spark.stop()
 """
 
 
+CHILD_TOKENS = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from ulp_spark.session import get_spark
+from ulp_spark import fixtures
+from ulp_spark.operators import tokens
+
+n, cpus = {n}, {cpus}
+spark = get_spark("scaling-tokens", master=f"local[{cpus}]",
+                  extra_conf={{"spark.sql.shuffle.partitions": str(2 * {cpus})}})
+spark.sparkContext.setLogLevel("ERROR")
+
+def job(rows, i=0):
+    # the BASELINE.json north-rule shape on the input_hint table:
+    # pre-tokenized sequences -> fingerprint exact dedup (16-byte keys
+    # through the only corpus shuffle) -> token-balanced writer
+    # assignment (the one-exchange distributed rank) -> per-writer loads
+    seq = fixtures.sequences(spark, rows + i, partitions=4 * {cpus})
+    kept = (seq.groupBy(tokens.token_fingerprint(F.col("tokens"))
+                        .alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min("n_tok").alias("n_tok")))
+    assigned = tokens.balanced_writers(
+        kept.select("doc_id", "n_tok"), "n_tok", "doc_id", 32)
+    return tokens.writer_loads(assigned)
+
+job(10_000).collect()  # warm codegen outside the measured window
+walls = []
+for i in range({repeat}):
+    q = job(n, i)  # +i -> fresh lineage, no shuffle-stage reuse
+    t0 = time.perf_counter(); q.collect(); walls.append(time.perf_counter() - t0)
+import statistics
+med = statistics.median(walls)
+print(json.dumps({{"cpus": {cpus}, "n": n, "walls": [round(w,2) for w in walls],
+                   "median_sec": round(med, 2),
+                   "throughput": round(n / med, 1)}}))
+spark.stop()
+"""
+
+
 def run_one(n: int, cpus: int, repeat: int) -> dict:
     code = CHILD.format(repo=REPO, n=n, cpus=cpus, repeat=repeat)
+    return _run_child(code, cpus)
+
+
+def run_one_tokens(n: int, cpus: int, repeat: int) -> dict:
+    code = CHILD_TOKENS.format(repo=REPO, n=n, cpus=cpus, repeat=repeat)
     return _run_child(code, cpus)
 
 
@@ -153,6 +199,12 @@ def main() -> None:
     ap.add_argument("--reuse-docs", type=str, default=None,
                     help="path to a prior summary JSON: reuse its vocab_job "
                          "levels instead of re-running the docs job")
+    ap.add_argument("--token-n", type=int, default=1_500_000,
+                    help="sequence count for the token-pipeline job "
+                         "(the BASELINE.json north-rule shape)")
+    ap.add_argument("--reuse-tokens", type=str, default=None,
+                    help="path to a prior summary JSON: reuse its token_job "
+                         "levels instead of re-running the token job")
     args = ap.parse_args()
 
     if args.reuse:
@@ -169,6 +221,15 @@ def main() -> None:
         args.doc_rep = max(1, args.doc_rep)
         dres = {c: run_one_docs(args.doc_rep, c, args.repeat)
                 for c in (2, 8, 32)}
+    if args.reuse_tokens:
+        prior_t = json.load(open(args.reuse_tokens))
+        tres = {int(k): v for k, v in prior_t["token_job"]["levels"].items()}
+        args.token_n = prior_t["token_job"].get("n", args.token_n)
+    else:
+        tres = {c: run_one_tokens(args.token_n, c, args.repeat)
+                for c in (2, 8, 32)}
+    teff_2_8 = (tres[8]["throughput"] / tres[2]["throughput"]) / 4
+    teff_8_32 = (tres[32]["throughput"] / tres[8]["throughput"]) / 4
     deff_2_8 = (dres[8]["throughput"] / dres[2]["throughput"]) / 4
     deff_8_32 = (dres[32]["throughput"] / dres[8]["throughput"]) / 4
     eff_2_8 = (res[8]["throughput"] / res[2]["throughput"]) / 4
@@ -187,6 +248,14 @@ def main() -> None:
             "efficiency_2_to_8": round(deff_2_8, 3),
             "efficiency_8_to_32": round(deff_8_32, 3),
         },
+        "token_job": {
+            "n": args.token_n,
+            "shape": "sequences -> fp exact dedup -> balanced_writers "
+                     "-> writer_loads",
+            "levels": tres,
+            "efficiency_2_to_8": round(teff_2_8, 3),
+            "efficiency_8_to_32": round(teff_8_32, 3),
+        },
     }
     print(json.dumps(summary))
 
@@ -196,6 +265,9 @@ def main() -> None:
     drows = "\n".join(
         f"| local[{c}] | {dres[c]['median_sec']} | {dres[c]['throughput']:,.0f} | "
         f"{dres[c]['walls']} |" for c in (2, 8, 32))
+    trows = "\n".join(
+        f"| local[{c}] | {tres[c]['median_sec']} | {tres[c]['throughput']:,.0f} | "
+        f"{tres[c]['walls']} |" for c in (2, 8, 32))
     # preserve any hand-written sections after the marker (round-3+ notes)
     tail = ""
     bench_path = os.path.join(REPO, "BENCH.md")
@@ -252,6 +324,23 @@ runs at vocab scale.  n={dres[2]['n']:,} docs.
 
 local[2] -> local[8] efficiency = {deff_2_8:.3f};
 local[8] -> local[32] = {deff_8_32:.3f} (same host caveat as above).
+
+## Third job shape: the token pipeline (the north-rule table)
+
+The BASELINE.json shape directly: pre-tokenized sequences
+(doc_id, tokens array<int32>, n_tok, source) -> fingerprint exact dedup
+(16-byte md5 keys through the only corpus-scale shuffle; token payloads
+never move) -> token-balanced writer assignment onto 32 writers (the
+one-exchange distributed rank, no SinglePartition) -> per-writer load
+aggregate.  n={args.token_n:,} sequences (~256 tokens each).
+
+| parallelism | median wall (s) | seq/s | all walls |
+|---|---|---|---|
+{trows}
+
+local[2] -> local[8] efficiency = {teff_2_8:.3f}
+(criterion >= 0.8: {"PASS" if teff_2_8 >= 0.8 else "FAIL"});
+local[8] -> local[32] = {teff_8_32:.3f} (same host caveat as above).
 """ + tail)
 
 
