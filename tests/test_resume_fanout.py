@@ -679,3 +679,41 @@ def test_streaming_contamination_alerts_match_batch(spark, tmp_path):
     got = [r.doc_id for r in spark.read.parquet(sink).collect()]
     assert len(got) == len(set(got))
     assert set(got) == exp
+
+
+def test_streaming_rewrites_match_batch(spark, tmp_path):
+    """The token rewrites (span corruption, UL2 denoiser mix) are pure
+    map-only expression stages, so the SAME operator runs unchanged
+    under Structured Streaming and — because every random decision is an
+    md5 uniform keyed on (seed, id), not rand() — the streamed rows are
+    BITWISE the batch rows regardless of micro-batch boundaries."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens as toks
+
+    n = 300
+    seq = fixtures.sequences(spark, n).select("doc_id", "tokens")
+    batch = {r.doc_id: (tuple(r.inputs), tuple(r.targets), r.n_spans,
+                        r.mode)
+             for r in toks.denoiser_mix(seq).collect()}
+
+    src = str(tmp_path / "rw_src"); sink = str(tmp_path / "rw_sink")
+    ckpt = str(tmp_path / "rw_ckpt")
+
+    def run(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        s = spark.readStream.schema(
+            "doc_id string, tokens array<int>").parquet(src)
+        q = (
+            toks.denoiser_mix(s)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # two micro-batch rounds with an uneven split
+    run(seq.filter(F.col("doc_id") < "doc-00000100"))
+    run(seq.filter(F.col("doc_id") >= "doc-00000100"))
+    got = {r.doc_id: (tuple(r.inputs), tuple(r.targets), r.n_spans, r.mode)
+           for r in spark.read.parquet(sink).collect()}
+    assert got == batch
