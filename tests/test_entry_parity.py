@@ -70,9 +70,11 @@ def test_query_matches_oracle(spark, con, name):
 
 def test_session_windows_equal_sessions(spark):
     """The retired native-F.session_window variant must stay row-identical
-    to the gaps-and-islands composition that remains driver-gated."""
-    a = entrymod.queries()["events_sessions"](spark, SF_DIR).drop("session_no")
-    b = entrymod.retired_queries()["events_session_windows"](spark, SF_DIR)
+    to the gaps-and-islands composition (both may sit on either side of
+    the driver-slate rotation, so look each up in the merged dict)."""
+    allq = {**entrymod.queries(), **entrymod.retired_queries()}
+    a = allq["events_sessions"](spark, SF_DIR).drop("session_no")
+    b = allq["events_session_windows"](spark, SF_DIR)
     assert sorted(a.columns) == sorted(b.columns)
     ra = _rows([c.lower() for c in a.columns], [tuple(r) for r in a.collect()])
     rb = _rows([c.lower() for c in b.columns], [tuple(r) for r in b.collect()])
