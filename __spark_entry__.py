@@ -604,6 +604,48 @@ def _q_seq_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.duplicate_gram_coverage(seq, "tokens", "doc_id")
 
 
+def _q_seq_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence novelty: fraction of each sequence's distinct 8-token
+    windows whose FIRST corpus occurrence (ascending doc_id — ingest
+    order) is in that sequence — the marginal-contribution signal for
+    admit-by-novelty curation.  Same seamed distinct-pair shape as
+    dup_gram_coverage (census is min(id) instead of count)."""
+    from ulp_spark.operators import tokens
+
+    # 2,500 rows for the same reason as seq_dup_gram_coverage: the
+    # distinct-pair frame is the cost driver on the DuckDB side.
+    seq = fixtures.sequences(spark, 2_500)
+    return tokens.gram_novelty(seq, "tokens", "doc_id")
+
+
+def _q_seq_packed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-row trainer arrays: hash-bucket packing (relational, so the
+    oracle can replay it) -> pack_sequences concatenation -> per-position
+    segment_ids + pos_in_doc (block-diagonal attention mask / position
+    reset inputs).  Linear array algebra per row; ONE groupBy(bin_id)
+    moves each token array once."""
+    from ulp_spark.operators import packing
+    from ulp_spark.operators.sampling import hash_bucket
+
+    # 2,000 docs x 64 bins: full arrays cross the compare, so cap the
+    # collected volume (~0.5M tokens x 3 arrays) like the other
+    # array-returning queries.
+    seq = fixtures.sequences(spark, 2_000)
+    pk = seq.select("doc_id", hash_bucket(F.col("doc_id"), 64).alias("bin_id"))
+    return packing.pack_segments(
+        packing.pack_sequences(seq, pk, "doc_id", "tokens"))
+
+
+def _q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-bundle quality filter (Rae et al. A1.1) over the
+    documents table: per-rule boolean verdicts + the hard-reject
+    composite.  Pure per-row expressions; rounded ratios make both
+    engines decide identically at the thresholds."""
+    from ulp_spark.operators import curation
+
+    return curation.gopher_rules(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def _q_seq_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (XLM-R exponentiated sampling,
     alpha=0.5) over the input_hint table: per-source natural share,
@@ -1358,6 +1400,15 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   verdicts.  Every op gets a driver verdict at least once across rounds;
 #   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
+    # wave-5b swap: three ops built late in round 5 (seq_gram_novelty,
+    # seq_packed_segments, doc_gopher_rules) take driver slots; three
+    # queries driver-green in 3-4 consecutive rounds park in exchange,
+    # each leaving an active relative on the gate (seq_exact_dedup for
+    # the exact-dedup family, corpus_training_batches/seq_packed_segments
+    # for packing, doc_clean_lines/doc_strip_boilerplate for curation)
+    "doc_exact_dedup",
+    "seq_packing_offsets",
+    "doc_passage_dedup",
     # r5 rotation (VERDICT r4 #1): the six r4-new ops + the flagship
     # composition take driver slots; seven long-stable queries (green in
     # CORRECTNESS r01-r04) park here under the same pytest-parity gate
@@ -1480,6 +1531,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_exact_dedup": _q_seq_exact_dedup,
         "seq_source_drift": _q_seq_source_drift,
         "seq_dup_gram_coverage": _q_seq_dup_gram_coverage,
+        "seq_gram_novelty": _q_seq_gram_novelty,
+        "seq_packed_segments": _q_seq_packed_segments,
+        "doc_gopher_rules": _q_doc_gopher_rules,
         "seq_temperature_mix": _q_seq_temperature_mix,
         "seq_epoch_order": _q_seq_epoch_order,
         "seq_balanced_writers": _q_seq_balanced_writers,
@@ -1618,6 +1672,29 @@ def _dup_gram_coverage_sql() -> str:
     # 2,500 rows to mirror _q_seq_dup_gram_coverage (suite-time trade)
     return tokens.duplicate_gram_coverage_sql(
         f"({fixtures.sequences_sql(2_500)})", "tokens", "doc_id")
+
+
+def _gram_novelty_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    # 2,500 rows to mirror _q_seq_gram_novelty (same suite-time trade)
+    return tokens.gram_novelty_sql(
+        f"({fixtures.sequences_sql(2_500)})", "tokens", "doc_id")
+
+
+def _packed_segments_sql() -> str:
+    from ulp_spark.operators import packing
+    from ulp_spark.operators.sampling import hash_bucket_sql
+
+    return packing.bucket_pack_segments_sql(
+        f"({fixtures.sequences_sql(2_000)})", "doc_id", "tokens",
+        hash_bucket_sql("doc_id", 64))
+
+
+def _gopher_rules_sql() -> str:
+    from ulp_spark.operators import curation
+
+    return curation.gopher_rules_sql("documents", "text", "doc_id")
 
 
 def _temperature_mix_sql() -> str:
@@ -2426,6 +2503,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_length_buckets": _length_buckets_sql(),
         "seq_source_drift": _source_drift_sql(),
         "seq_dup_gram_coverage": _dup_gram_coverage_sql(),
+        "seq_gram_novelty": _gram_novelty_sql(),
+        "seq_packed_segments": _packed_segments_sql(),
+        "doc_gopher_rules": _gopher_rules_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),
         "seq_epoch_order": _epoch_order_sql(),
         "seq_balanced_writers": _balanced_writers_sql(),

@@ -2960,3 +2960,113 @@ def test_dsir_sample_prefers_target_like_docs(spark):
     frac_sampled = sum(1 for i in ids if i in en) / len(ids)
     frac_base = len(en) / docs.count()
     assert frac_sampled > frac_base
+
+
+# --------------------------------------------------------------------------
+# wave-5b: gram novelty, packed segments, Gopher rules
+# --------------------------------------------------------------------------
+
+def test_gram_novelty_first_occurrence_wins(spark):
+    from ulp_spark.operators import tokens
+
+    rows = [
+        ("a", list(range(10))),            # arrives first: fully novel
+        ("b", list(range(10))),            # exact repeat: zero novelty
+        ("c", list(range(5, 15))),         # overlaps a's tail windows
+        ("d", [1, 2, 3]),                  # shorter than k=8: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in
+           tokens.gram_novelty(df, "tokens", "doc_id").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"].novel_frac == 1.0 and got["a"].n_grams == 3
+    assert got["b"].novel_frac == 0.0
+    # c has windows 5..12, 6..13, 7..14; none equal a's 0..7/1..8/2..9
+    assert got["c"].novel_frac == 1.0
+
+
+def test_gram_novelty_partition_invariant(spark):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    a = tokens.gram_novelty(
+        fixtures.sequences(spark, 300, partitions=1), "tokens", "doc_id")
+    b = tokens.gram_novelty(
+        fixtures.sequences(spark, 300, partitions=13), "tokens", "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_segments_invariants(spark):
+    from ulp_spark import fixtures
+    from ulp_spark.operators import packing
+    from ulp_spark.operators.sampling import hash_bucket
+
+    seq = fixtures.sequences(spark, 200)
+    pk = seq.select("doc_id",
+                    hash_bucket(F.col("doc_id"), 8).alias("bin_id"))
+    out = packing.pack_segments(
+        packing.pack_sequences(seq, pk, "doc_id", "tokens")).collect()
+    assert len(out) == 8
+    for r in out:
+        n = len(r.tokens)
+        assert len(r.segment_ids) == n and len(r.pos_in_doc) == n
+        # segment ids are a nondecreasing cover of 0..n_docs-1
+        assert r.segment_ids[0] == 0 and r.segment_ids[-1] == r.n_docs - 1
+        assert all(b - a in (0, 1) for a, b in
+                   zip(r.segment_ids, r.segment_ids[1:]))
+        # positions restart at 0 exactly at each doc_start
+        for s_idx, start in enumerate(r.doc_starts):
+            assert r.pos_in_doc[start] == 0
+            assert r.segment_ids[start] == s_idx
+        # within a segment positions increment by 1
+        assert all((p2 == p1 + 1) or p2 == 0 for p1, p2 in
+                   zip(r.pos_in_doc, r.pos_in_doc[1:]))
+
+
+def test_pack_segments_empty_doc_guard(spark):
+    from ulp_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3, 4], [0, 2, 2])],
+        "bin_id int, tokens array<int>, doc_starts array<int>")
+    r = packing.pack_segments(df).collect()[0]
+    # middle doc is empty: its segment contributes no positions,
+    # segment ids jump 0 -> 2 across the boundary
+    assert r.segment_ids == [0, 0, 2, 2]
+    assert r.pos_in_doc == [0, 1, 0, 1]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from ulp_spark.operators import curation
+
+    passing = ("the cat sat on the mat and it is a fine day to be out "
+               "in the sun with friends enjoying wonderful evenings "
+               "together outside ") * 4    # 96 words, mean word len 3.75
+    docs = [
+        ("ok", passing),
+        ("null", None),
+        ("short", "the and of it"),                     # word count
+        ("symbols", "the and " + "# " * 60),            # symbol ratio
+        ("bullets", "\n".join("- the and of it is in that it x y z a b"
+                              for _ in range(10))),     # bullet frac
+        ("ellipsis", "\n".join("the and of to is in that it keeps going..."
+                               for _ in range(10))),    # ellipsis frac
+        ("numeric", "the and " + "12345 " * 60),        # alpha frac
+        ("nostop", "word " * 60),                       # stopwords
+        ("longwords", "extraordinarily " * 60),         # mean word length
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r.doc_id: r for r in
+           curation.gopher_rules(df, "text", "doc_id").collect()}
+    assert got["ok"].gopher_pass
+    assert not got["null"].r_word_count
+    assert not got["short"].r_word_count
+    assert not got["symbols"].r_symbol
+    assert not got["bullets"].r_bullet
+    assert not got["ellipsis"].r_ellipsis
+    assert not got["numeric"].r_alpha
+    assert not got["nostop"].r_stopwords
+    assert not got["longwords"].r_mean_word_len
+    for k in got:
+        if k != "ok":
+            assert not got[k].gopher_pass, k

@@ -723,3 +723,168 @@ def clean_lines_sql(
                    x -> {ok})) >= {min_lines} AS keep_doc
         FROM {table}
     """
+
+
+# --------------------------------------------------------------------------
+# Gopher rule-bundle quality filter (Rae et al. 2021, appendix A1.1)
+# --------------------------------------------------------------------------
+
+# Deterministic re-derivation of the Gopher document-level rules on the
+# signals this repo already computes cross-engine.  Thresholds are the
+# published ones; the symbol/bullet character sets are pinned explicitly
+# (the paper's are prose-described) so both engines agree bit-for-bit.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1     # '#' or ellipsis per word
+GOPHER_MAX_BULLET_FRAC = 0.9      # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3    # lines ending with an ellipsis
+GOPHER_MIN_ALPHA_FRAC = 0.8       # words containing a letter
+GOPHER_MIN_STOPWORDS = 2          # distinct members of STOP_EN present
+_SYMBOL_RE = r"#|\.\.\.|…"
+_BULLETS = ("-", "*", "•", "‣")
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher rule-bundle quality filter as one row of per-rule
+    verdicts: MassiveWeb's document-level heuristics (word count
+    50..100k, mean word length 3..10, symbol-to-word ratio <= 0.1,
+    bullet-started lines <= 90%, ellipsis-ended lines <= 30%, >= 80% of
+    words contain a letter, >= 2 distinct English stopwords).  Unlike
+    ``quality_score`` (a soft composite for ranking) this is the
+    hard-reject bundle production corpora apply first; emitting each
+    rule's boolean lets curation dashboards attribute WHY a document
+    fell, which a single pass/fail cannot.
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop_present, r_*: boolean per rule,
+    gopher_pass).  Ratios are rounded to 6 places and the rule verdicts
+    compare the ROUNDED values, so both engines decide identically at
+    the thresholds.  Null text behaves as empty (fails the word-count
+    rule).  Line fractions are over non-blank lines; a document with no
+    non-blank lines has fraction 0 (passes those two rules).
+
+    Scale shape: pure per-row expressions (split / filter / aggregate
+    lambdas + a handful of regexp_counts) in ONE whole-stage-codegen
+    span — no shuffle, no UDF, co-partitions with the input.  The words
+    array is materialized once in its own projection and every signal
+    reads the alias (the recorded reused-expression rule: a referenced
+    expression inside higher-order lambdas is re-evaluated per element).
+    """
+    from ulp_spark.operators.textstats import STOP_EN
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col),
+        text.alias("__t"),
+        word_tokens(text).alias("__w"),
+        F.filter(F.split(text, "\n"),
+                 lambda l: F.length(F.trim(l)) > 0).alias("__ln"),
+    )
+    w, ln, t = F.col("__w"), F.col("__ln"), F.col("__t")
+    n_words = F.size(w)
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    n_lines = F.size(ln)
+    safe_ln = F.greatest(n_lines, F.lit(1)).cast("double")
+    sum_wlen = F.aggregate(w, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + F.length(x))
+    mean_wlen = F.round(sum_wlen.cast("double") / safe_w, ROUND)
+    sym_ratio = F.round(
+        F.regexp_count(t, F.lit(_SYMBOL_RE)).cast("double") / safe_w, ROUND)
+    bullet = F.size(F.filter(
+        ln, lambda l: F.substring(F.ltrim(l), 1, 1).isin(*_BULLETS)))
+    bullet_frac = F.round(bullet.cast("double") / safe_ln, ROUND)
+    ellip = F.size(F.filter(
+        ln, lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+        | F.endswith(F.rtrim(l), F.lit("…"))))
+    ellip_frac = F.round(ellip.cast("double") / safe_ln, ROUND)
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.round(alpha.cast("double") / safe_w, ROUND)
+    n_stop = sum(
+        (F.array_contains(w, s).cast("int") for s in STOP_EN),
+        F.lit(0))
+    m = staged.select(
+        F.col(id_col), n_words.alias("n_words"), mean_wlen.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"), bullet_frac.alias("bullet_frac"),
+        ellip_frac.alias("ellipsis_frac"), alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop_present"),
+    )
+    r = m.select(
+        "*",
+        ((F.col("n_words") >= GOPHER_MIN_WORDS)
+         & (F.col("n_words") <= GOPHER_MAX_WORDS)).alias("r_word_count"),
+        ((F.col("mean_word_len") >= GOPHER_MIN_MEAN_WLEN)
+         & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WLEN))
+        .alias("r_mean_word_len"),
+        (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO).alias("r_symbol"),
+        (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC).alias("r_bullet"),
+        (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        .alias("r_ellipsis"),
+        (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC).alias("r_alpha"),
+        (F.col("n_stop_present") >= GOPHER_MIN_STOPWORDS).alias("r_stopwords"),
+    )
+    return r.select(
+        "*",
+        (F.col("r_word_count") & F.col("r_mean_word_len") & F.col("r_symbol")
+         & F.col("r_bullet") & F.col("r_ellipsis") & F.col("r_alpha")
+         & F.col("r_stopwords")).alias("gopher_pass"),
+    )
+
+
+def gopher_rules_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin: same staged words/lines arrays, same rounded-value
+    rule comparisons."""
+    from ulp_spark.operators.textstats import STOP_EN
+
+    text = f"coalesce({text_col}, '')"
+    words = word_tokens_sql(text)
+    bullets = ", ".join(f"'{b}'" for b in _BULLETS)
+    stop_sum = " + ".join(
+        f"CAST(list_contains(__w, '{s}') AS INT)" for s in STOP_EN)
+    return f"""
+        WITH staged AS (
+          SELECT {id_col}, {text} AS __t, {words} AS __w,
+                 list_filter(string_split({text}, chr(10)),
+                             l -> len(trim(l)) > 0) AS __ln
+          FROM {table}
+        ),
+        m AS (
+          SELECT {id_col},
+                 len(__w)::INT AS n_words,
+                 round(coalesce(list_sum(list_transform(__w, x -> len(x))), 0)
+                       ::DOUBLE / greatest(len(__w), 1), {ROUND})
+                   AS mean_word_len,
+                 round(len(regexp_extract_all(__t, '{_SYMBOL_RE}'))::DOUBLE
+                       / greatest(len(__w), 1), {ROUND}) AS symbol_ratio,
+                 round(len(list_filter(__ln,
+                       l -> substr(ltrim(l), 1, 1) IN ({bullets})))::DOUBLE
+                       / greatest(len(__ln), 1), {ROUND}) AS bullet_frac,
+                 round(len(list_filter(__ln,
+                       l -> ends_with(rtrim(l), '...')
+                            OR ends_with(rtrim(l), '…')))::DOUBLE
+                       / greatest(len(__ln), 1), {ROUND}) AS ellipsis_frac,
+                 round(len(list_filter(__w,
+                       x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                       / greatest(len(__w), 1), {ROUND}) AS alpha_frac,
+                 ({stop_sum})::INT AS n_stop_present
+          FROM staged
+        )
+        SELECT *,
+               (r_word_count AND r_mean_word_len AND r_symbol AND r_bullet
+                AND r_ellipsis AND r_alpha AND r_stopwords) AS gopher_pass
+        FROM (
+          SELECT *,
+                 (n_words >= {GOPHER_MIN_WORDS}
+                  AND n_words <= {GOPHER_MAX_WORDS}) AS r_word_count,
+                 (mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+                  AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN})
+                   AS r_mean_word_len,
+                 (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS r_symbol,
+                 (bullet_frac <= {GOPHER_MAX_BULLET_FRAC}) AS r_bullet,
+                 (ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}) AS r_ellipsis,
+                 (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS r_alpha,
+                 (n_stop_present >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords
+          FROM m
+        )
+    """

@@ -416,3 +416,96 @@ def length_bucket_stats_sql(
           GROUP BY bucket
         )
     """
+
+
+def pack_segments(
+    packed: DataFrame, tokens_col: str = "tokens",
+    starts_col: str = "doc_starts",
+) -> DataFrame:
+    """Per-position SEGMENT IDS and IN-DOCUMENT POSITIONS for packed
+    training rows — the two arrays a trainer derives from (tokens,
+    doc_starts) to build the block-diagonal attention mask and the
+    reset position embeddings (the "packing without cross-contamination"
+    recipe: each packed document attends only within its own segment and
+    restarts positions at 0).  Materializing them beside the tokens lets
+    a data loader consume shards with zero per-step bookkeeping.
+
+    Adds two columns to ``packed``: segment_ids[p] = index of the
+    document owning position p (0-based, aligned with doc_starts), and
+    pos_in_doc[p] = p - doc_starts[segment_ids[p]].  Works on any frame
+    carrying (tokens, doc_starts) — pack_sequences output, or the
+    relational hash-bucket packing the oracle query uses.
+
+    Scale shape: pure per-row array algebra, LINEAR in n_tok (document
+    lengths are recovered from consecutive starts and each segment is
+    emitted with array_repeat/sequence, then flattened — not the
+    O(n_tok x n_docs) per-position filter), one codegen span, no
+    shuffle; co-partitions with the input.
+    """
+    toks, starts = F.col(tokens_col), F.col(starts_col)
+    nd = F.size(starts)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), nd - 1)
+
+    def seg_len(i):
+        nxt = F.when(i == nd - 1, n).otherwise(F.get(starts, i + 1))
+        return nxt - F.get(starts, i)
+
+    seg_ids = F.flatten(F.transform(
+        idx, lambda i: F.array_repeat(i.cast("int"), seg_len(i))))
+    pos = F.flatten(F.transform(
+        idx, lambda i: F.when(
+            seg_len(i) > 0,
+            F.sequence(F.lit(0), seg_len(i) - 1)).otherwise(
+            F.array().cast("array<int>")).cast("array<int>")))
+    return packed.select(
+        "*", seg_ids.alias("segment_ids"), pos.alias("pos_in_doc"))
+
+
+def bucket_pack_segments_sql(
+    table: str, id_col: str, tokens_col: str, buckets_expr: str,
+) -> str:
+    """DuckDB twin of the RELATIONAL packing composition the oracle
+    query runs: assign bin_id = ``buckets_expr`` (a deterministic hash
+    bucket), concatenate each bin's documents in ascending id order,
+    derive doc_starts as the exclusive prefix sum of lengths (a plain
+    window — the oracle may be single-node), then emit the same linear
+    segment_ids / pos_in_doc arrays as :func:`pack_segments`."""
+    return f"""
+        WITH b AS (
+          SELECT {buckets_expr} AS bin_id, {id_col}, {tokens_col} AS t
+          FROM {table}
+        ),
+        w AS (
+          SELECT bin_id, {id_col}, t,
+                 CAST(sum(len(t)) OVER (PARTITION BY bin_id
+                        ORDER BY {id_col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - len(t) AS INTEGER) AS st
+          FROM b
+        ),
+        g AS (
+          SELECT bin_id,
+                 flatten(list(t ORDER BY {id_col})) AS tokens,
+                 list(st ORDER BY {id_col}) AS doc_starts,
+                 count(*)::INT AS n_docs,
+                 CAST(sum(len(t)) AS INT) AS n_tok
+          FROM w GROUP BY bin_id
+        )
+        SELECT bin_id, tokens, doc_starts, n_docs, n_tok,
+               flatten([[CAST(i - 1 AS INTEGER)
+                         FOR x IN range(CASE WHEN i = len(doc_starts)
+                                        THEN len(tokens)
+                                        ELSE doc_starts[i + 1] END
+                                        - doc_starts[i])]
+                        FOR i IN range(1, len(doc_starts) + 1)])
+                 AS segment_ids,
+               flatten([[CAST(x AS INTEGER)
+                         FOR x IN range(CASE WHEN i = len(doc_starts)
+                                        THEN len(tokens)
+                                        ELSE doc_starts[i + 1] END
+                                        - doc_starts[i])]
+                        FOR i IN range(1, len(doc_starts) + 1)])
+                 AS pos_in_doc
+        FROM g
+    """

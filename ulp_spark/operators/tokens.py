@@ -2402,3 +2402,68 @@ def denoiser_mix_sql(
           FROM {table} WHERE ({u_mode}) >= (1.0/3.0) * 2
         )
     """
+
+
+def gram_novelty(
+    df: DataFrame, tokens_col: str, id_col: str, k: int = GRAM,
+) -> DataFrame:
+    """Per-sequence NOVELTY: the fraction of its distinct token
+    ``k``-gram windows whose FIRST corpus occurrence (ascending
+    ``id_col`` order — the deterministic ingest order) is in this
+    sequence.  The temporal complement of ``duplicate_gram_coverage``:
+    coverage says "how much of me exists elsewhere", novelty says "how
+    much did I add when I arrived".  Streaming-ingest curation uses it
+    to admit documents by marginal contribution (a doc that is 95%
+    previously-seen windows adds little signal however unique its exact
+    bytes), and memorization audits use the inverse (low-novelty,
+    high-coverage rows are the memorization-risk tail).
+
+    Returns (id, n_grams, n_novel, novel_frac) for every sequence with
+    at least one full window (rows shorter than ``k`` are omitted —
+    same rule as duplicate_gram_coverage).  Ties cannot occur: first
+    occurrence is min(id) per gram, and a gram appearing several times
+    inside one doc collapses in the distinct pair set.
+
+    Scale shape: identical to duplicate_gram_coverage — distinct
+    (id, gram-md5) pairs seamed ONCE feeding both the min-id census
+    (map-side partial min, 16-byte keys) and the per-doc rollup join;
+    token arrays never leave the scan stage, nothing quadratic.
+    """
+    pairs = (
+        df.select(F.col(id_col),
+                  F.explode(token_grams(F.col(tokens_col), k)).alias("gk"))
+        .distinct()
+    )
+    pairs = seam(pairs)  # feeds the first-occurrence census AND the rollup
+    first = pairs.groupBy("gk").agg(F.min(id_col).alias("__first_id"))
+    return (
+        pairs.join(first, "gk")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum((F.col("__first_id") == F.col(id_col)).cast("bigint"))
+             .alias("n_novel"))
+        .select(id_col, "n_grams", "n_novel",
+                F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                .alias("novel_frac"))
+    )
+
+
+def gram_novelty_sql(
+    table: str, tokens_col: str, id_col: str, k: int = GRAM,
+) -> str:
+    """DuckDB twin: distinct pairs -> min-id census -> per-doc rollup."""
+    grams = token_grams_sql(tokens_col, k)
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT {id_col}, gk FROM (
+            SELECT {id_col}, unnest({grams}) AS gk FROM {table})
+        ),
+        first AS (SELECT gk, min({id_col}) AS first_id FROM pairs GROUP BY gk)
+        SELECT {id_col}, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN first_id = {id_col} THEN 1 ELSE 0 END)::BIGINT
+                 AS n_novel,
+               round(sum(CASE WHEN first_id = {id_col} THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS novel_frac
+        FROM pairs JOIN first USING (gk)
+        GROUP BY {id_col}
+    """
