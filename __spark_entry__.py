@@ -604,6 +604,33 @@ def _q_seq_dup_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.duplicate_gram_coverage(seq, "tokens", "doc_id")
 
 
+def _q_seq_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning loss masks: 0 over prompt positions, 1 over the
+    completion, prompt lengths clamped into [0, n_tok].  Prompt boundary
+    derived deterministically in-query (seq_no*13 mod n_tok+5 — exercises
+    the beyond-length clamp on real rows).  Pure per-row array algebra."""
+    from ulp_spark.operators import tokens
+
+    seq = fixtures.sequences(spark, 2_500).select(
+        "doc_id", "tokens",
+        (F.col("seq_no") * 13 % (F.col("n_tok") + 5)).cast("int")
+        .alias("prompt_len"))
+    return tokens.sft_loss_mask(seq, "tokens", "prompt_len")
+
+
+def _q_seq_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary (n_seqs, tokens, exact-dup mass,
+    length stats) with injected duplicates (seq_no<500 re-ingested with a
+    NULL source) so dup_frac and the '__null__' bucket both exercise.
+    ONE scan; fingerprints computed in the scan projection."""
+    from ulp_spark.operators import profiling as prof
+
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    dup = (seq.filter(F.col("seq_no") < 500)
+           .withColumn("source", F.lit(None).cast("string")))
+    return prof.corpus_datacard(seq.unionByName(dup))
+
+
 def _q_seq_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence novelty: fraction of each sequence's distinct 8-token
     windows whose FIRST corpus occurrence (ascending doc_id — ingest
@@ -1400,6 +1427,11 @@ def _q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   verdicts.  Every op gets a driver verdict at least once across rounds;
 #   parked queries stay pytest-parity-gated.
 _PYTEST_ONLY = frozenset({
+    # wave-5c: built after the cap filled with r5-new ops each awaiting
+    # a FIRST driver verdict — these two enter the pytest-parity registry
+    # directly (same rows+schema+values compare at sf0.01)
+    "seq_sft_loss_mask",
+    "seq_corpus_datacard",
     # wave-5b swap: three ops built late in round 5 (seq_gram_novelty,
     # seq_packed_segments, doc_gopher_rules) take driver slots; three
     # queries driver-green in 3-4 consecutive rounds park in exchange,
@@ -1534,6 +1566,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_gram_novelty": _q_seq_gram_novelty,
         "seq_packed_segments": _q_seq_packed_segments,
         "doc_gopher_rules": _q_doc_gopher_rules,
+        "seq_sft_loss_mask": _q_seq_sft_loss_mask,
+        "seq_corpus_datacard": _q_seq_corpus_datacard,
         "seq_temperature_mix": _q_seq_temperature_mix,
         "seq_epoch_order": _q_seq_epoch_order,
         "seq_balanced_writers": _q_seq_balanced_writers,
@@ -1672,6 +1706,25 @@ def _dup_gram_coverage_sql() -> str:
     # 2,500 rows to mirror _q_seq_dup_gram_coverage (suite-time trade)
     return tokens.duplicate_gram_coverage_sql(
         f"({fixtures.sequences_sql(2_500)})", "tokens", "doc_id")
+
+
+def _sft_loss_mask_sql() -> str:
+    from ulp_spark.operators import tokens
+
+    inner = (f"(SELECT doc_id, tokens, "
+             f"CAST(seq_no * 13 % (n_tok + 5) AS INTEGER) AS prompt_len "
+             f"FROM ({fixtures.sequences_sql(2_500)}))")
+    return tokens.sft_loss_mask_sql(inner, "tokens", "prompt_len")
+
+
+def _corpus_datacard_sql() -> str:
+    from ulp_spark.operators import profiling as prof
+
+    base = fixtures.sequences_sql(N_FIXTURE)
+    both = (f"(SELECT * FROM ({base}) UNION ALL "
+            f"SELECT doc_id, tokens, n_tok, NULL AS source, seq_no "
+            f"FROM ({base}) WHERE seq_no < 500)")
+    return prof.corpus_datacard_sql(both)
 
 
 def _gram_novelty_sql() -> str:
@@ -2506,6 +2559,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "seq_gram_novelty": _gram_novelty_sql(),
         "seq_packed_segments": _packed_segments_sql(),
         "doc_gopher_rules": _gopher_rules_sql(),
+        "seq_sft_loss_mask": _sft_loss_mask_sql(),
+        "seq_corpus_datacard": _corpus_datacard_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),
         "seq_epoch_order": _epoch_order_sql(),
         "seq_balanced_writers": _balanced_writers_sql(),

@@ -3070,3 +3070,35 @@ def test_gopher_rules_each_rule_fires(spark):
     for k in got:
         if k != "ok":
             assert not got[k].gopher_pass, k
+
+
+def test_sft_loss_mask_clamps_and_counts(spark):
+    from ulp_spark.operators import tokens
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], -5), ("b", [1, 2, 3], 99),
+         ("c", [1, 2, 3], 2), ("d", [], 1)],
+        "doc_id string, tokens array<int>, prompt_len int")
+    got = {r.doc_id: r for r in
+           tokens.sft_loss_mask(df, "tokens", "prompt_len").collect()}
+    assert got["a"].loss_mask == [1, 1, 1] and got["a"].n_prompt == 0
+    assert got["b"].loss_mask == [0, 0, 0] and got["b"].n_target == 0
+    assert got["c"].loss_mask == [0, 0, 1]
+    assert got["c"].n_prompt == 2 and got["c"].n_target == 1
+    assert got["d"].loss_mask == [] and got["d"].n_prompt == 0
+
+
+def test_corpus_datacard_dup_and_null_buckets(spark):
+    from ulp_spark.operators import profiling
+
+    rows = [("a", [1, 2], "web"), ("b", [1, 2], "web"),
+            ("c", [3, 4, 5], "web"), ("d", [9], None)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string")
+    got = {r.source: r for r in profiling.corpus_datacard(df).collect()}
+    web = got["web"]
+    assert web.n_seqs == 3 and web.n_unique == 2
+    assert web.total_tokens == 7 and web.dup_frac == round(1 - 2 / 3, 6)
+    assert web.min_tok == 2 and web.max_tok == 3
+    nul = got["__null__"]
+    assert nul.n_seqs == 1 and nul.dup_frac == 0.0

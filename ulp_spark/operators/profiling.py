@@ -95,3 +95,73 @@ def profile_table_sql(table: str, cols: list[str],
         for c in cols
     ]
     return " UNION ALL ".join(parts)
+
+
+def corpus_datacard(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source DATASET-CARD summary over the input_hint table: the
+    one-page accounting a corpus release ships (sources, sizes, exact
+    duplication) — one row per source with n_seqs, total_tokens,
+    n_unique (distinct token-array fingerprints), dup_frac
+    (1 - unique/n: the mass exact dedup would remove), mean/min/max
+    sequence length.  NULL sources report under the '__null__' bucket
+    (the mixing-plan convention, so the card covers every row).
+
+    Scale shape: ONE scan — the fingerprint is computed in the scan
+    projection (16-byte key; token arrays never shuffle) and all
+    aggregates share a single groupBy(source) with map-side partials;
+    count(DISTINCT fp) adds the exact-answer Expand like profile_table,
+    swappable for approx_count_distinct at 10^12 rows (documented
+    trade; exact is the oracle-gated default).  Output is |sources|
+    rows — driver-scale by definition.
+    """
+    from ulp_spark.operators.tokens import token_fingerprint
+
+    src = F.coalesce(F.col(source_col), F.lit("__null__"))
+    n = F.size(F.col(tokens_col))
+    staged = df.select(
+        src.alias("source"),
+        token_fingerprint(F.col(tokens_col)).alias("__fp"),
+        n.alias("__n"))
+    return (
+        staged.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_seqs"),
+             F.sum(F.col("__n").cast("bigint")).alias("total_tokens"),
+             F.countDistinct("__fp").alias("n_unique"),
+             F.round(F.avg(F.col("__n").cast("double")), 6)
+             .alias("mean_tok"),
+             F.min("__n").alias("min_tok"),
+             F.max("__n").alias("max_tok"))
+        .select("source", "n_seqs", "total_tokens", "n_unique",
+                F.round(F.lit(1.0) - F.col("n_unique")
+                        / F.col("n_seqs").cast("double"), 6)
+                .alias("dup_frac"),
+                "mean_tok", "min_tok", "max_tok")
+    )
+
+
+def corpus_datacard_sql(
+    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin: same staged fingerprint + one grouped aggregate."""
+    from ulp_spark.operators.tokens import token_fingerprint_sql
+
+    fp = token_fingerprint_sql(tokens_col)
+    return f"""
+        SELECT source,
+               count(*)::BIGINT AS n_seqs,
+               sum(n)::BIGINT AS total_tokens,
+               count(DISTINCT fp)::BIGINT AS n_unique,
+               round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6)
+                 AS dup_frac,
+               round(avg(CAST(n AS DOUBLE)), 6) AS mean_tok,
+               min(n)::INT AS min_tok,
+               max(n)::INT AS max_tok
+        FROM (SELECT coalesce({source_col}, '__null__') AS source,
+                     {fp} AS fp, len({tokens_col}) AS n
+              FROM {table})
+        GROUP BY source
+    """

@@ -2467,3 +2467,52 @@ def gram_novelty_sql(
         FROM pairs JOIN first USING (gk)
         GROUP BY {id_col}
     """
+
+
+def sft_loss_mask(
+    df: DataFrame, tokens_col: str, prompt_len_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Instruction-tuning LOSS MASK: for rows carrying a prompt/completion
+    boundary (``prompt_len_col`` = number of leading prompt tokens), emit
+    loss_mask[p] = 0 for prompt positions and 1 for completion positions
+    — the standard SFT convention where the model is only penalized on
+    the response — plus the n_prompt/n_target token accounting a batch
+    scheduler budgets with.  Prompt lengths are CLAMPED into [0, n_tok]
+    (a malformed boundary masks everything or nothing rather than
+    corrupting array shapes; the clamped value is what's reported).
+
+    Returns the input row + (loss_mask array<int>, n_prompt, n_target).
+
+    Scale shape: two array_repeat concats per row — pure per-row JVM
+    array algebra, zero shuffle, one codegen span, partition-invariant.
+    Composes with pack_segments downstream: pack the masked rows, then
+    a trainer multiplies loss_mask into the packed cross-entropy.
+    """
+    n = F.size(F.col(tokens_col))
+    pl = F.greatest(
+        F.lit(0), F.least(F.col(prompt_len_col).cast("int"), n))
+    mask = F.concat(
+        F.array_repeat(F.lit(0).cast("int"), pl),
+        F.array_repeat(F.lit(1).cast("int"), n - pl))
+    return df.select(
+        "*", mask.alias("loss_mask"), pl.alias("n_prompt"),
+        (n - pl).alias("n_target"))
+
+
+def sft_loss_mask_sql(
+    table: str, tokens_col: str, prompt_len_col: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: same clamp, same repeat-concat mask."""
+    n = f"len({tokens_col})"
+    pl = f"greatest(0, least(CAST({prompt_len_col} AS INTEGER), {n}))"
+    return f"""
+        SELECT *,
+               list_concat([CAST(0 AS INTEGER) FOR x IN range({pl})],
+                           [CAST(1 AS INTEGER) FOR x IN range({n} - {pl})])
+                 AS loss_mask,
+               CAST({pl} AS INTEGER) AS n_prompt,
+               CAST({n} - {pl} AS INTEGER) AS n_target
+        FROM {table}
+    """
