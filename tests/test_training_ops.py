@@ -3102,3 +3102,31 @@ def test_corpus_datacard_dup_and_null_buckets(spark):
     assert web.min_tok == 2 and web.max_tok == 3
     nul = got["__null__"]
     assert nul.n_seqs == 1 and nul.dup_frac == 0.0
+
+
+def test_pack_sequences_extra_arrays_align(spark):
+    import pytest as _pytest
+    from ulp_spark import fixtures
+    from ulp_spark.operators import packing, tokens
+    from ulp_spark.operators.sampling import hash_bucket
+
+    seq = fixtures.sequences(spark, 120).select(
+        "doc_id", "tokens",
+        (F.col("seq_no") * 7 % (F.col("n_tok") + 3)).cast("int")
+        .alias("prompt_len"))
+    masked = tokens.sft_loss_mask(seq, "tokens", "prompt_len")
+    pk = masked.select("doc_id", hash_bucket(F.col("doc_id"), 6).alias("bin_id"))
+    out = packing.pack_sequences(
+        masked, pk, "doc_id", "tokens", extra_array_cols=["loss_mask"])
+    docs = {r.doc_id: r for r in masked.collect()}
+    assign = {r.doc_id: r.bin_id for r in pk.collect()}
+    for r in out.collect():
+        ids = sorted(d for d, b in assign.items() if b == r.bin_id)
+        exp_mask = [m for d in ids for m in docs[d].loss_mask]
+        exp_toks = [t for d in ids for t in docs[d].tokens]
+        assert r.tokens == exp_toks
+        assert r.loss_mask == exp_mask
+        assert len(r.loss_mask) == len(r.tokens)
+    with _pytest.raises(ValueError):
+        packing.pack_sequences(masked, pk, "doc_id", "tokens",
+                               sep_token=0, extra_array_cols=["loss_mask"])

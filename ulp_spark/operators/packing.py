@@ -279,6 +279,7 @@ def pack_sequences(
     seq: DataFrame, packed: DataFrame,
     id_col: str = "doc_id", tokens_col: str = "tokens",
     sep_token: int | None = None,
+    extra_array_cols: list[str] | None = None,
 ) -> DataFrame:
     """Materialize the training rows for a pack_bins assignment: one row
     per bin — (bin_id, tokens, doc_starts, n_docs, n_tok) where tokens is
@@ -305,11 +306,26 @@ def pack_sequences(
     (separators included in the offset math), and n_tok counts the
     separators; a caller packing with separators should budget
     pack_bins with n_tok + 1 upstream.
+
+    ``extra_array_cols`` packs ADDITIONAL per-document arrays (e.g. the
+    sft_loss_mask output) positionally alongside the tokens: each named
+    column is concatenated in the SAME ascending-id order, so
+    out[extra][p] annotates out[tokens][p] exactly — the packed-SFT
+    recipe (mask the docs, pack once, train on the packed pair).  Only
+    supported with ``sep_token=None``: a separator's annotation value is
+    a per-use policy this op refuses to guess (raises ValueError).
+    Callers must guarantee each extra array is length-aligned with its
+    document's tokens (sft_loss_mask output is by construction).
     """
-    j = seq.select(id_col, tokens_col).join(
+    extras = list(extra_array_cols or [])
+    if extras and sep_token is not None:
+        raise ValueError(
+            "extra_array_cols requires sep_token=None: a separator's "
+            "annotation value is caller policy — append it upstream")
+    j = seq.select(id_col, tokens_col, *extras).join(
         packed.select(id_col, "bin_id"), id_col)
     grouped = j.groupBy("bin_id").agg(
-        F.array_sort(F.collect_list(F.struct(id_col, tokens_col)))
+        F.array_sort(F.collect_list(F.struct(id_col, tokens_col, *extras)))
         .alias("__arr"))
     arr = F.col("__arr")
     if sep_token is None:
@@ -331,9 +347,18 @@ def pack_sequences(
              + F.lit(0 if sep_token is None else 1)).alias("off")),
         lambda acc: acc["st"],
     )
+    def _field(c):
+        # closure, not a default arg: a 2-parameter lambda would make
+        # F.transform pass the element INDEX as the second argument
+        return lambda s: s[c]
+
+    extra_out = [
+        F.flatten(F.transform(arr, _field(c))).alias(c) for c in extras
+    ]
     return grouped.select(
         "bin_id",
         toks.alias(tokens_col),
+        *extra_out,
         starts.alias("doc_starts"),
         F.size(arr).alias("n_docs"),
         F.size(toks).alias("n_tok"),
