@@ -631,6 +631,26 @@ def _q_seq_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.corpus_datacard(seq.unionByName(dup))
 
 
+def _q_seq_packed_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-SFT composition: sft_loss_mask -> hash-bucket packing with
+    the mask riding extra_array_cols -> pack_segments; one plan emitting
+    (tokens, loss_mask, doc_starts, segment_ids, pos_in_doc) — the full
+    packed instruction-tuning row."""
+    from ulp_spark.operators import packing, tokens
+    from ulp_spark.operators.sampling import hash_bucket
+
+    seq = fixtures.sequences(spark, 2_000).select(
+        "doc_id", "tokens",
+        (F.col("seq_no") * 13 % (F.col("n_tok") + 5)).cast("int")
+        .alias("prompt_len"))
+    masked = tokens.sft_loss_mask(seq, "tokens", "prompt_len").select(
+        "doc_id", "tokens", "loss_mask")
+    pk = masked.select(
+        "doc_id", hash_bucket(F.col("doc_id"), 64).alias("bin_id"))
+    return packing.pack_segments(packing.pack_sequences(
+        masked, pk, "doc_id", "tokens", extra_array_cols=["loss_mask"]))
+
+
 def _q_seq_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence novelty: fraction of each sequence's distinct 8-token
     windows whose FIRST corpus occurrence (ascending doc_id — ingest
@@ -1432,6 +1452,7 @@ _PYTEST_ONLY = frozenset({
     # directly (same rows+schema+values compare at sf0.01)
     "seq_sft_loss_mask",
     "seq_corpus_datacard",
+    "seq_packed_sft",
     # wave-5b swap: three ops built late in round 5 (seq_gram_novelty,
     # seq_packed_segments, doc_gopher_rules) take driver slots; three
     # queries driver-green in 3-4 consecutive rounds park in exchange,
@@ -1568,6 +1589,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": _q_doc_gopher_rules,
         "seq_sft_loss_mask": _q_seq_sft_loss_mask,
         "seq_corpus_datacard": _q_seq_corpus_datacard,
+        "seq_packed_sft": _q_seq_packed_sft,
         "seq_temperature_mix": _q_seq_temperature_mix,
         "seq_epoch_order": _q_seq_epoch_order,
         "seq_balanced_writers": _q_seq_balanced_writers,
@@ -1725,6 +1747,20 @@ def _corpus_datacard_sql() -> str:
             f"SELECT doc_id, tokens, n_tok, NULL AS source, seq_no "
             f"FROM ({base}) WHERE seq_no < 500)")
     return prof.corpus_datacard_sql(both)
+
+
+def _packed_sft_sql() -> str:
+    from ulp_spark.operators import packing, tokens
+    from ulp_spark.operators.sampling import hash_bucket_sql
+
+    inner = (f"(SELECT doc_id, tokens, "
+             f"CAST(seq_no * 13 % (n_tok + 5) AS INTEGER) AS prompt_len "
+             f"FROM ({fixtures.sequences_sql(2_000)}))")
+    masked = (f"(SELECT doc_id, tokens, loss_mask FROM "
+              f"({tokens.sft_loss_mask_sql(inner, 'tokens', 'prompt_len')}))")
+    return packing.bucket_pack_segments_sql(
+        masked, "doc_id", "tokens", hash_bucket_sql("doc_id", 64),
+        extra_array_cols=["loss_mask"])
 
 
 def _gram_novelty_sql() -> str:
@@ -2561,6 +2597,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_gopher_rules": _gopher_rules_sql(),
         "seq_sft_loss_mask": _sft_loss_mask_sql(),
         "seq_corpus_datacard": _corpus_datacard_sql(),
+        "seq_packed_sft": _packed_sft_sql(),
         "seq_temperature_mix": _temperature_mix_sql(),
         "seq_epoch_order": _epoch_order_sql(),
         "seq_balanced_writers": _balanced_writers_sql(),

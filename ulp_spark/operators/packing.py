@@ -489,20 +489,28 @@ def pack_segments(
 
 def bucket_pack_segments_sql(
     table: str, id_col: str, tokens_col: str, buckets_expr: str,
+    extra_array_cols: list[str] | None = None,
 ) -> str:
     """DuckDB twin of the RELATIONAL packing composition the oracle
     query runs: assign bin_id = ``buckets_expr`` (a deterministic hash
     bucket), concatenate each bin's documents in ascending id order,
     derive doc_starts as the exclusive prefix sum of lengths (a plain
     window — the oracle may be single-node), then emit the same linear
-    segment_ids / pos_in_doc arrays as :func:`pack_segments`."""
+    segment_ids / pos_in_doc arrays as :func:`pack_segments`.
+    ``extra_array_cols`` mirrors pack_sequences': each extra array is
+    flattened in the same id order beside the tokens."""
+    extras = list(extra_array_cols or [])
+    ex_b = "".join(f", {c}" for c in extras)
+    ex_g = "".join(
+        f", flatten(list({c} ORDER BY {id_col})) AS {c}" for c in extras)
+    ex_o = "".join(f", {c}" for c in extras)
     return f"""
         WITH b AS (
-          SELECT {buckets_expr} AS bin_id, {id_col}, {tokens_col} AS t
+          SELECT {buckets_expr} AS bin_id, {id_col}, {tokens_col} AS t{ex_b}
           FROM {table}
         ),
         w AS (
-          SELECT bin_id, {id_col}, t,
+          SELECT bin_id, {id_col}, t{ex_b},
                  CAST(sum(len(t)) OVER (PARTITION BY bin_id
                         ORDER BY {id_col}
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -511,13 +519,13 @@ def bucket_pack_segments_sql(
         ),
         g AS (
           SELECT bin_id,
-                 flatten(list(t ORDER BY {id_col})) AS tokens,
+                 flatten(list(t ORDER BY {id_col})) AS tokens{ex_g},
                  list(st ORDER BY {id_col}) AS doc_starts,
                  count(*)::INT AS n_docs,
                  CAST(sum(len(t)) AS INT) AS n_tok
           FROM w GROUP BY bin_id
         )
-        SELECT bin_id, tokens, doc_starts, n_docs, n_tok,
+        SELECT bin_id, tokens{ex_o}, doc_starts, n_docs, n_tok,
                flatten([[CAST(i - 1 AS INTEGER)
                          FOR x IN range(CASE WHEN i = len(doc_starts)
                                         THEN len(tokens)
