@@ -3130,3 +3130,23 @@ def test_pack_sequences_extra_arrays_align(spark):
     with _pytest.raises(ValueError):
         packing.pack_sequences(masked, pk, "doc_id", "tokens",
                                sep_token=0, extra_array_cols=["loss_mask"])
+
+
+def test_connected_components_scrambled_path(spark):
+    """Region-chain regression: a PATH whose ids are md5-scrambled has
+    ~n/3 local-min regions, the structure where min-label propagation
+    moves the global min one region per round (the r5 bench wedge);
+    the alternating-star algorithm must close it within max_iter."""
+    from ulp_spark.operators.dedup import connected_components
+
+    n = 800
+    base = spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("sid"), F.col("id"))
+    order = {r.id: r.sid for r in base.collect()}
+    edges = spark.createDataFrame(
+        [(order[i], order[i + 1]) for i in range(n - 1)],
+        "id_a string, id_b string")
+    cc = connected_components(edges).collect()
+    assert len(cc) == n
+    root = min(order.values())
+    assert {r.comp_id for r in cc} == {root}

@@ -426,70 +426,104 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     the minimum node id in the node's connected component — the canonical
     document of a near-duplicate cluster.
 
-    Min-label propagation with pointer jumping (the MapReduce CC family,
-    Kiveris et al. 2014): each round every node takes the min component
-    over its closed neighborhood, then resolves ``comp -> comp(comp)``,
-    halving chain lengths so rounds are O(log diameter).  Each round is
-    two equi-joins shuffled on the node id; lineage is truncated with
-    ``localCheckpoint`` so plans stay flat across iterations.  Convergence
-    is detected exactly: a node-scale join between the round's labels and
-    the previous round's with a ``limit(1)`` early-out — no changed row
-    means a fixed point.  (Works for STRING ids too; the former
-    ``sum(comp::decimal)`` scalar metric assumed numeric ids.)  The fixed
-    point (min id per component) is unique
-    and independent of the round count, hence oracle-comparable against a
-    recursive-CTE transitive closure.
+    ALTERNATING STAR algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"): each round rewrites the EDGE
+    set — large-star hangs every larger neighbor off the minimum of each
+    closed neighborhood, small-star re-hangs the smaller neighbors —
+    contracting the graph toward a forest of stars rooted at component
+    minima in O(log^2 n) rounds GUARANTEED.  Edge rewriting matters:
+    min-LABEL propagation (this function's previous form, even with full
+    path compression) moves information along the ORIGINAL edges one hop
+    per round, which is Theta(#local-min regions) on region-chain graphs
+    — the r5 bench's circulant near-dup fixture needed >60 unconverged
+    rounds of it, while the star form closes the same graph in a
+    handful.  Convergence is detected exactly (edge set unchanged:
+    counts equal + exceptAll probe with a limit(1) early-out); the star
+    fixed point's roots are the component minima, unique and
+    independent of round count, hence oracle-comparable against a
+    recursive-CTE transitive closure.  Works for STRING ids.
+
+    Per-round edge frames are PINNED — persist + count (materializes
+    the cache, fixing its stats to REAL bytes) then ``localCheckpoint``
+    ON THE CACHED FRAME (truncates lineage, inheriting the real size),
+    then the cache is dropped.  Both halves are load-bearing:
+    ``localCheckpoint`` alone PROPAGATES the plan's ESTIMATED
+    sizeInBytes into its LogicalRDD, and the frame enters the next
+    round's plan several times, so the BigInt estimate re-multiplies
+    every round until Catalyst's SizeInBytesOnlyStatsPlanVisitor is
+    grinding 10^8-digit numbers — the driver wedges single-threaded for
+    minutes, then dies with `BigInteger would overflow supported range`
+    (found by the r5 bench's 20k input).  ``persist`` alone leaves the
+    LOGICAL tree embedding the previous round's tree severally — 3^k
+    nodes by round k, and the analyzer heap-OOMs instead.
 
     Not in the reference engine (its dedup story ends at per-record ids);
     this is the standard downstream of LSH candidate generation in corpus
     pipelines — near-dup GROUPS, from which one keeps comp_id == id.
     """
-    # Materialize the symmetric edge list ONCE — without this every round
-    # re-executes the upstream plan (e.g. the whole LSH candidate join).
-    sym = pairs.select(F.col("id_a").alias("n"), F.col("id_b").alias("m")).union(
-        pairs.select(F.col("id_b").alias("n"), F.col("id_a").alias("m"))
-    ).localCheckpoint()
-    labels = (
-        sym.groupBy("n").agg(F.min("m").alias("nbr_min"))
-        .select("n", F.least(F.col("n"), F.col("nbr_min")).alias("comp"))
-        .localCheckpoint()
-    )
+    def _pin(df: DataFrame) -> DataFrame:
+        """Materialize with REAL stats and TRUNCATED lineage: cache +
+        count fixes the InMemoryRelation's sizeInBytes to actual bytes,
+        the checkpoint taken FROM the cache inherits that real size into
+        a lineage-free LogicalRDD, then the cache is dropped."""
+        c = df.persist()
+        c.count()
+        out = c.localCheckpoint(eager=True)
+        c.unpersist()
+        return out
+
+    u, v = F.col("u"), F.col("v")
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        """(v, m(u)) for every neighbor v > u, where m(u) = min of u's
+        closed neighborhood — larger nodes re-hang under the local min."""
+        sym = e.select(u, v).union(e.select(v.alias("u"), u.alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), u).alias("m")))
+        return (sym.join(mins, "u").filter(v > u)
+                .select(v.alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        """Orient edges to the smaller endpoint; re-hang each node's
+        smaller neighbors (and itself) under their minimum."""
+        d = e.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = (d.join(mins, "u")
+                .select(v.alias("u"), F.col("m").alias("v")))
+        selfs = mins.select(u, F.col("m").alias("v"))
+        return (nbrs.union(selfs)
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    edges = _pin(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(u != v).distinct())
+    nodes = _pin(
+        edges.select(u.alias("n")).union(edges.select(v.alias("n"))).distinct())
     for _ in range(max_iter):
-        prop = (
-            sym.join(labels.select(F.col("n").alias("m2"), "comp"),
-                     F.col("m") == F.col("m2"))
-            .groupBy("n").agg(F.min("comp").alias("nbr_comp"))
-        )
-        new = (
-            labels.join(prop, "n", "left")
-            .select("n", F.least(F.col("comp"),
-                                 F.coalesce("nbr_comp", "comp")).alias("comp"))
-        )
-        jump = labels.select(F.col("n").alias("cn"), F.col("comp").alias("ccomp"))
-        new = (
-            new.join(jump, new["comp"] == F.col("cn"), "left")
-            .select("n", F.least(F.col("comp"),
-                                 F.coalesce("ccomp", "comp")).alias("comp"))
-            .localCheckpoint()
-        )
-        # exact fixed-point check: any row whose label moved this round?
-        # (node-scale join over two checkpointed frames with a limit(1)
-        # early-out; works for STRING ids too, where the former
-        # sum(comp::decimal) convergence metric could not cast)
-        changed = (
-            new.join(labels.select("n", F.col("comp").alias("__old")), "n")
-            .filter(F.col("comp") != F.col("__old")).limit(1).count()
-        )
-        labels = new
-        if changed == 0:
+        new = _pin(_small_star(_large_star(edges)))
+        # exact fixed-point probe: same row count AND nothing in the
+        # symmetric difference (edge-scale, limit(1) early-out)
+        if new.count() == edges.count() and \
+                new.exceptAll(edges).limit(1).count() == 0:
+            edges = new
             break
+        edges = new
     else:
-        # With pointer jumping, max_iter=25 covers diameter ~2^25; hitting
-        # this means the labeling is NOT the transitive min — fail loudly
-        # rather than silently under-merging dedup groups.
+        # Kiveris et al. bound rounds by O(log^2 n) and observe single
+        # digits in practice (the adversarial 20k bench graph closes in
+        # 5); hitting max_iter means the star fixpoint was NOT reached —
+        # fail loudly rather than under-merging groups.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
-    return labels.select(F.col("n").alias("id"), F.col("comp").alias("comp_id"))
+    # star fixpoint: every edge is (node, component-min root); roots
+    # label themselves
+    return (
+        nodes.join(edges, nodes["n"] == edges["u"], "left")
+        .select(F.col("n").alias("id"),
+                F.coalesce(F.col("v"), F.col("n")).alias("comp_id"))
+    )
 
 
 def connected_components_sql(pairs_sql: str, id_alias: str = "id") -> str:
