@@ -841,6 +841,22 @@ def _q_seq_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.sequence_unigram_scores(seq, "tokens", "doc_id")
 
 
+def _aug_tail(spark: SparkSession) -> DataFrame:
+    """Constructed-tail stream shared by seq_repeated_suffix and
+    seq_trim_repeated_suffix (Spark twin of _aug_tail_sql): seq_no % 4
+    extra copies of the final 2-token block appended, so periods 0/1/2
+    and multi-copy tails all occur."""
+    seq = fixtures.sequences(spark, N_FIXTURE)
+    return seq.select(
+        "doc_id",
+        F.concat(
+            F.col("tokens"),
+            F.flatten(F.array_repeat(
+                F.slice(F.col("tokens"),
+                        F.greatest(F.size("tokens") - 1, F.lit(1)), 2),
+                (F.col("seq_no") % 4).cast("int")))).alias("tokens"))
+
+
 def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-repetition detector (degenerate-loop signal) over the
     input_hint table, with the tail-repeat CONSTRUCTED in-query (the
@@ -849,16 +865,7 @@ def _q_seq_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so periods 0/1/2 and multi-copy tails all occur."""
     from ulp_spark.operators import tokens
 
-    seq = fixtures.sequences(spark, N_FIXTURE)
-    aug = seq.select(
-        "doc_id",
-        F.concat(
-            F.col("tokens"),
-            F.flatten(F.array_repeat(
-                F.slice(F.col("tokens"),
-                        F.greatest(F.size("tokens") - 1, F.lit(1)), 2),
-                (F.col("seq_no") % 4).cast("int")))).alias("tokens"))
-    return tokens.repeated_suffix(aug, "tokens", "doc_id")
+    return tokens.repeated_suffix(_aug_tail(spark), "tokens", "doc_id")
 
 
 def _q_seq_resume_position(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,16 +932,7 @@ def _q_seq_trim_repeated_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, arrays rebuilt — zero-shuffle per-row expression work."""
     from ulp_spark.operators import tokens
 
-    seq = fixtures.sequences(spark, N_FIXTURE)
-    aug = seq.select(
-        "doc_id",
-        F.concat(
-            F.col("tokens"),
-            F.flatten(F.array_repeat(
-                F.slice(F.col("tokens"),
-                        F.greatest(F.size("tokens") - 1, F.lit(1)), 2),
-                (F.col("seq_no") % 4).cast("int")))).alias("tokens"))
-    return tokens.trim_repeated_suffix(aug, "tokens", "doc_id")
+    return tokens.trim_repeated_suffix(_aug_tail(spark), "tokens", "doc_id")
 
 
 def _q_emb_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3150,3 +3150,62 @@ def test_connected_components_scrambled_path(spark):
     assert len(cc) == n
     root = min(order.values())
     assert {r.comp_id for r in cc} == {root}
+
+
+def test_incremental_dedup_marker_only_state_dir_recovers(spark, tmp_path):
+    """A state directory holding only commit markers (empty first delta,
+    or a writer killed after mkdir) must read as FIRST RUN, not wedge
+    every later run on 'Unable to infer schema' (review r5)."""
+    from ulp_spark import fixtures
+    from ulp_spark.operators import tokens
+
+    state = tmp_path / "fp_state"
+    state.mkdir()
+    (state / "_SUCCESS").touch()
+    r1 = tokens.incremental_sequence_dedup(
+        fixtures.sequences(spark, 50), "tokens", "doc_id", str(state))
+    assert r1.count() == 50
+    # and the store is functional afterwards: a replay dedups fully
+    r2 = tokens.incremental_sequence_dedup(
+        fixtures.sequences(spark, 50), "tokens", "doc_id", str(state))
+    assert r2.count() == 0
+
+
+def test_connected_components_keeps_self_pair_nodes(spark):
+    from ulp_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "c")], "id_a string, id_b string")
+    got = {r.id: r.comp_id for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_pack_segments_no_docs_row(spark):
+    from ulp_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(0, [], [])],
+        "bin_id int, tokens array<int>, doc_starts array<int>")
+    r = packing.pack_segments(df).collect()[0]
+    assert r.segment_ids == [] and r.pos_in_doc == []
+
+
+def test_clean_lines_vertical_tab_parity(spark):
+    """Java \\s includes \\x0B, RE2's does not — the word-count rule must
+    ride SPLIT_WS on both engines (review r5).  A 2-word line welded by
+    a vertical tab stays 3 words on BOTH engines."""
+    import duckdb
+    from ulp_spark.operators import curation
+
+    text = "one\x0btwo three.\nshort."
+    df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    got = curation.clean_lines(df, "text", "doc_id", min_words=3).collect()[0]
+    con = duckdb.connect()
+    lit = text.replace("\x0b", "' || chr(11) || '").replace("\n", "' || chr(10) || '")
+    sql = curation.clean_lines_sql(
+        f"(SELECT 'd1' AS doc_id, '{lit}' AS text)", "text", "doc_id",
+        min_words=3)
+    exp = con.sql(sql).fetchall()[0]
+    assert got.text_clean == "one\x0btwo three."
+    assert (got.text_clean, got.n_lines, got.n_kept, got.keep_doc) == \
+        tuple(exp[1:])

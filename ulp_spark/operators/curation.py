@@ -707,7 +707,7 @@ def clean_lines_sql(
         f"contains(lower(trim(x)), '{p}')" for p in blacklist)
     ok = (
         f"length(trim(x)) > 0 AND right(trim(x), 1) IN ({terminals}) "
-        f"AND len(string_split_regex(trim(x), '\\s+')) >= {min_words} "
+        f"AND len(string_split_regex(trim(x), '{SPLIT_WS}')) >= {min_words} "
         f"AND NOT ({black})"
     )
     return f"""
@@ -841,7 +841,8 @@ def gopher_rules_sql(table: str, text_col: str, id_col: str) -> str:
     words = word_tokens_sql(text)
     bullets = ", ".join(f"'{b}'" for b in _BULLETS)
     stop_sum = " + ".join(
-        f"CAST(list_contains(__w, '{s}') AS INT)" for s in STOP_EN)
+        "CAST(list_contains(__w, '" + w.replace("'", "''") + "') AS INT)"
+        for w in STOP_EN)
     return f"""
         WITH staged AS (
           SELECT {id_col}, {text} AS __t, {words} AS __w,

@@ -496,11 +496,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 .filter(F.col("u") != F.col("v"))
                 .distinct())
 
+    # nodes derive from the RAW pairs (before the self-edge filter), so a
+    # node whose only edge is reflexive still gets a (node, node) row —
+    # the operator's contract is a label for EVERY node in `pairs`
+    nodes = _pin(
+        pairs.select(F.col("id_a").alias("n"))
+        .union(pairs.select(F.col("id_b").alias("n"))).distinct())
     edges = _pin(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(u != v).distinct())
-    nodes = _pin(
-        edges.select(u.alias("n")).union(edges.select(v.alias("n"))).distinct())
     for _ in range(max_iter):
         new = _pin(_small_star(_large_star(edges)))
         # exact fixed-point probe: same row count AND nothing in the

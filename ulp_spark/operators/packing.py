@@ -470,7 +470,11 @@ def pack_segments(
     toks, starts = F.col(tokens_col), F.col(starts_col)
     nd = F.size(starts)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), nd - 1)
+    # gate nd = 0: sequence(0, -1) counts DOWN in Spark (the recorded
+    # descending-sequence trap), which would poison the transforms with
+    # index -1 -> NULL arrays instead of empty ones
+    idx = F.when(nd > 0, F.sequence(F.lit(0), nd - 1)) \
+        .otherwise(F.array().cast("array<int>"))
 
     def seg_len(i):
         nxt = F.when(i == nd - 1, n).otherwise(F.get(starts, i + 1))

@@ -98,8 +98,7 @@ def profile_table_sql(table: str, cols: list[str],
 
 
 def corpus_datacard(
-    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
-    source_col: str = "source",
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
 ) -> DataFrame:
     """Per-source DATASET-CARD summary over the input_hint table: the
     one-page accounting a corpus release ships (sources, sizes, exact
@@ -143,8 +142,7 @@ def corpus_datacard(
 
 
 def corpus_datacard_sql(
-    table: str, tokens_col: str = "tokens", id_col: str = "doc_id",
-    source_col: str = "source",
+    table: str, tokens_col: str = "tokens", source_col: str = "source",
 ) -> str:
     """DuckDB twin: same staged fingerprint + one grouped aggregate."""
     from ulp_spark.operators.tokens import token_fingerprint_sql

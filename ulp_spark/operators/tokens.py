@@ -573,13 +573,19 @@ def incremental_sequence_dedup(
     fp = token_fingerprint(F.col(tokens_col)).alias("fp")
     batch = df.select(fp, F.col(id_col))
     batch_min = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    if _path_exists(spark, state_path):
+    if _state_has_data(spark, state_path):
         # a real read error here (corrupt footer, permission blip,
         # eventual-consistency miss) must abort the run loudly: let it
-        # raise — the only safe "empty state" is a state that does not
-        # exist
+        # raise — the only safe "empty state" is a state with no
+        # committed data files
         seen = spark.read.parquet(state_path).select("fp")
     else:
+        # covers both "never written" AND "directory created but no data
+        # file committed" (an empty first delta, or a writer that died
+        # after mkdir: only _SUCCESS/_temporary markers present).
+        # Treating that as first-run is safe — no fingerprint was ever
+        # committed — and avoids wedging every later run on an
+        # unreadable-schema directory.
         seen = spark.createDataFrame([], "fp string")
     fresh = batch_min.join(seen, "fp", "left_anti")
     # materialize the new-key set once: it feeds BOTH the state append
@@ -599,6 +605,26 @@ def _path_exists(spark, path: str) -> bool:
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(p))
+
+
+def _state_has_data(spark, path: str) -> bool:
+    """True iff ``path`` exists AND contains at least one committed data
+    file (name not starting with '_' or '.').  Bare existence is the
+    wrong gate: an empty first delta or a writer killed after mkdir
+    leaves the directory with only _SUCCESS/_temporary markers, and
+    `spark.read.parquet` on that raises 'Unable to infer schema' —
+    which would then wedge EVERY later run if existence alone decided
+    'mature store'."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
 
 
 def compact_dedup_state(
@@ -2182,12 +2208,18 @@ def source_js_divergence(
                  F.col("c").alias("cb"), F.col("tt").alias("tb")))
     pa = F.col("ca").cast("double") / F.col("ta").cast("double")
     pb = F.col("cb").cast("double") / F.col("tb").cast("double")
-    num = (F.col("ca") * F.col("tb")).cast("bigint")
-    den = (F.col("ca") * F.col("tb") + F.col("cb") * F.col("ta")) \
-        .cast("bigint")
+    # cross-products in DECIMAL(38,0), not bigint: ca*tb reaches ta*tb,
+    # which overflows int64 once per-source totals pass ~3e9 tokens —
+    # three orders below the 10^12 design scale (the zipf_fit lesson;
+    # DuckDB twin uses HUGEINT).  Exact integers -> one double division.
+    ca_d = F.col("ca").cast("decimal(38,0)")
+    cb_d = F.col("cb").cast("decimal(38,0)")
+    ta_d = F.col("ta").cast("decimal(38,0)")
+    tb_d = F.col("tb").cast("decimal(38,0)")
+    num = ca_d * tb_d
+    den = ca_d * tb_d + cb_d * ta_d
     ra = F.lit(2.0) * num.cast("double") / den.cast("double")
-    rb = F.lit(2.0) * (F.col("cb") * F.col("ta")).cast("double") \
-        / den.cast("double")
+    rb = F.lit(2.0) * (cb_d * ta_d).cast("double") / den.cast("double")
     term_micro = F.round(
         F.lit(500000.0) * (pa * F.log(ra) + pb * F.log(rb))
     ).cast("bigint")
@@ -2254,11 +2286,13 @@ def source_js_divergence_sql(
           SELECT sa, sb,
                  sum(CAST(round(500000.0 * (
                    (ca::DOUBLE / ta::DOUBLE)
-                     * ln(2.0 * (ca * tb)::DOUBLE
-                          / (ca * tb + cb * ta)::DOUBLE)
+                     * ln(2.0 * (ca::HUGEINT * tb::HUGEINT)::DOUBLE
+                          / (ca::HUGEINT * tb::HUGEINT
+                             + cb::HUGEINT * ta::HUGEINT)::DOUBLE)
                    + (cb::DOUBLE / tb::DOUBLE)
-                     * ln(2.0 * (cb * ta)::DOUBLE
-                          / (ca * tb + cb * ta)::DOUBLE)
+                     * ln(2.0 * (cb::HUGEINT * ta::HUGEINT)::DOUBLE
+                          / (ca::HUGEINT * tb::HUGEINT
+                             + cb::HUGEINT * ta::HUGEINT)::DOUBLE)
                  )) AS BIGINT)) AS s_common,
                  sum(ca) AS mass_a,
                  sum(cb) AS mass_b,
