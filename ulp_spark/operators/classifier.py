@@ -58,8 +58,35 @@ def synthetic_weight_centi_sql(bucket: str) -> str:
 
 
 def _features(text: Column) -> Column:
+    # single-Column convenience form; corpus-scale callers use
+    # _feature_rows, which stages the token array first — word_grams
+    # references its tokens inside a per-gram lambda, and Catalyst
+    # re-evaluates a non-attribute referenced expression PER ELEMENT
+    # (O(n^2) split work; the recorded reused-expression trap)
     toks = word_tokens(F.coalesce(text, F.lit("")))
     return F.concat(toks, word_grams(toks, 2))
+
+
+def _feature_rows(
+    frame: DataFrame, text_col: str, id_col: str, dim: int,
+) -> DataFrame:
+    """(id, bucket) feature-occurrence rows with the token array STAGED
+    as a real column, so the uni+bigram explode reads an attribute
+    instead of re-splitting the text per gram (measured 14.7 s -> ~4 s
+    on the dsir bench corpus, r6).  Values identical to exploding
+    ``_features``."""
+    staged = frame.select(
+        F.col(id_col),
+        word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("__toks"))
+    return (
+        staged.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.concat(F.col("__toks"), word_grams(F.col("__toks"), 2)))
+            .alias("f"))
+        .select(id_col, feature_bucket(F.col("f"), dim).alias("bucket"))
+    )
 
 
 def linear_quality_score(
@@ -73,11 +100,7 @@ def linear_quality_score(
     0).  Default: the synthetic formula — zero joins, pure expressions.
     Every input row comes back (empty/null text scores the bias alone).
     """
-    feats = (
-        df.select(F.col(id_col),
-                  F.explode_outer(_features(F.col(text_col))).alias("f"))
-        .select(id_col, feature_bucket(F.col("f"), dim).alias("bucket"))
-    )
+    feats = _feature_rows(df, text_col, id_col, dim)
     if weights is None:
         weighted = feats.select(
             id_col,
@@ -167,11 +190,7 @@ def dsir_importance(
     tcol = target_text_col or text_col
 
     def feats(frame: DataFrame, col: str) -> DataFrame:
-        return (
-            frame.select(F.col(id_col),
-                         F.explode_outer(_features(F.col(col))).alias("f"))
-            .select(id_col, feature_bucket(F.col("f"), dim).alias("bucket"))
-        )
+        return _feature_rows(frame, col, id_col, dim)
 
     from ulp_spark.session import seam
 

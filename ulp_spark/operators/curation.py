@@ -178,7 +178,18 @@ def passage_hashes(text: Column, words: int = PASSAGE_WORDS) -> Column:
     at n/words instead of n — the CCNet paragraph-dedup shape applied to
     token windows.
     """
-    toks = word_tokens(text)
+    # single-Column convenience form; corpus-scale callers stage the
+    # token array and use _passage_hashes_from_tokens — the per-chunk
+    # lambda references toks, and a non-attribute referenced expression
+    # re-evaluates PER ELEMENT (the recorded reused-expression trap:
+    # O(n^2/words) split work inline)
+    return _passage_hashes_from_tokens(word_tokens(text), words)
+
+
+def _passage_hashes_from_tokens(toks: Column, words: int = PASSAGE_WORDS
+                                ) -> Column:
+    """Chunk hashes over an ALREADY-STAGED token array column (pass an
+    attribute so the chunk lambda references cheap input)."""
     n = F.size(toks)
     n_chunks = F.ceil(n / F.lit(float(words))).cast("int")
     return F.when(n == 0, F.array().cast("array<string>")).otherwise(
@@ -230,9 +241,15 @@ def passage_dup_stats(
     materializes the explode once (round-4 fix; the window path has one
     consumer and needs no seam).
     """
+    # stage the token array (one split/lower pass), THEN chunk-hash over
+    # the attribute — the inline form re-splits the text per chunk (r6)
     exploded = df.select(
         F.col(id_col),
-        F.explode(passage_hashes(F.col(text_col), words)).alias("ph"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.explode(_passage_hashes_from_tokens(F.col("__toks"), words))
+        .alias("ph"),
     )
     if via == "join" and materialize:
         from ulp_spark.session import seam
@@ -303,9 +320,13 @@ def contamination_flags(
     the explode is pre-aggregated back to one row per doc. Returns
     (id, is_contaminated) for TRAIN docs only.
     """
-    grams = word_grams(word_tokens(F.col(text_col)), k)
-    sides = df.select(F.col(id_col), eval_pred.alias("is_eval"),
-                      F.explode(grams).alias("gram"))
+    # token array staged first: word_grams re-evaluates a non-attribute
+    # tokens expression per gram (the reused-expression trap, r6)
+    sides = df.select(
+        F.col(id_col), eval_pred.alias("is_eval"),
+        word_tokens(F.col(text_col)).alias("__toks"),
+    ).select(F.col(id_col), F.col("is_eval"),
+             F.explode(word_grams(F.col("__toks"), k)).alias("gram"))
     eval_grams = sides.filter("is_eval").select("gram").distinct()
     train = sides.filter(~F.col("is_eval"))
     hits = (

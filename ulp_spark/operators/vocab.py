@@ -119,9 +119,11 @@ def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(gram, n) corpus word-bigram counts ("w1 w2" keys) — the model side
     of coverage scoring.  Same collapse-to-vocab-scale shape as
     word_counts."""
-    toks = word_tokens(F.col(text_col))
+    # token array staged first: word_grams re-evaluates a non-attribute
+    # tokens expression per gram (the reused-expression trap, r6)
     return (
-        df.select(F.explode(word_grams(toks, 2)).alias("gram"))
+        df.select(word_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(word_grams(F.col("__toks"), 2)).alias("gram"))
         .groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -151,9 +153,10 @@ def bigram_coverage(
     left join.  Rounding: ratio of two bigints rounded to 6 dp — no
     float summation anywhere.
     """
-    toks = word_tokens(F.col(text_col))
-    grams = df.select(F.col(id_col), F.explode(word_grams(toks, 2))
-                      .alias("gram"))
+    grams = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"),
+    ).select(F.col(id_col), F.explode(word_grams(F.col("__toks"), 2))
+             .alias("gram"))
     model = bigram_counts(df, text_col)
     per_doc = (
         grams.join(model, "gram")
