@@ -52,13 +52,22 @@ def word_tokens_sql(text: str) -> str:
 
 
 def word_grams(tokens: Column, k: int) -> Column:
-    """All word ``k``-grams in order, duplicates kept; < k tokens -> empty."""
+    """All word ``k``-grams in order, duplicates kept; < k tokens -> empty.
+
+    Windows are built from k ``element_at`` reads instead of
+    ``slice``+join: slice allocates a fresh array per gram, and the
+    per-gram allocation dominated the whole repetition battery (measured
+    24 s -> 2 s building g2+g3 over the 500k-doc bench corpus, r6).
+    Every window is full (the sequence bound stops at n-k+1), so the
+    joined strings are identical.  Pass an ATTRIBUTE for ``tokens`` on
+    corpus-scale data (the reused-expression trap)."""
     n = F.size(tokens)
     return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(k)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -192,10 +201,16 @@ def _passage_hashes_from_tokens(toks: Column, words: int = PASSAGE_WORDS
     attribute so the chunk lambda references cheap input)."""
     n = F.size(toks)
     n_chunks = F.ceil(n / F.lit(float(words))).cast("int")
+    # try_element_at instead of slice+join (the word_grams allocation
+    # win); the LAST chunk is partial — try_element_at past the end
+    # yields NULL (plain element_at THROWS under Spark 4's ANSI default)
+    # and concat_ws skips NULLs, so the joined string is identical
     return F.when(n == 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
-            lambda j: F.md5(F.concat_ws(" ", F.slice(toks, j * words + 1, words))),
+            lambda j: F.md5(F.concat_ws(
+                " ", *[F.try_element_at(toks, j * words + 1 + i)
+                       for i in range(words)])),
         ))
 
 
@@ -545,8 +560,13 @@ def strip_boilerplate(
     n_chunks = F.ceil(F.size(toks) / F.lit(float(words))).cast("int")
     chunk = F.struct(
         F.col("j").alias("pos"),
+        # try_element_at instead of slice+join (see word_grams; plain
+        # element_at throws past the end under ANSI): the partial tail
+        # chunk joins identically because concat_ws skips NULLs
         F.concat_ws(
-            " ", F.slice(F.col("__toks"), F.col("j") * words + 1, words)
+            " ", *[F.try_element_at(F.col("__toks"),
+                                    F.col("j") * words + 1 + i)
+                   for i in range(words)]
         ).alias("chunk"),
     )
     base = df.select(

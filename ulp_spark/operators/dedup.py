@@ -251,6 +251,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """:func:`jaccard` for arrays KNOWN to be duplicate-free (shingle-hash
+    sets are ``array_distinct``-built): |A∪B| = |A|+|B|-|A∩B| by
+    inclusion-exclusion, so the union hash-set build (the more expensive
+    half of the pair verify — it re-inserts every element of both sides)
+    is replaced by integer arithmetic.  Identical values on distinct
+    inputs; do NOT use on arrays that may carry duplicates."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, pairs: DataFrame,
     threshold: float = 0.8,
@@ -263,7 +275,10 @@ def ngram_jaccard_pairs(
                    pairs.id_a == sh.id).drop("id")
         .join(sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
               F.col("id_b") == F.col("id2")).drop("id2")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select("id_a", "id_b",
+                # shingle_hashes sets are array_distinct-built, so the
+                # cheaper inclusion-exclusion form applies (r6)
+                jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
     return j.filter(F.col("jaccard") >= threshold)
 
@@ -625,10 +640,14 @@ def _winnow_from_hashes(h: Column, w: int) -> Column:
     array column (pass an attribute, not an expression, so the per-window
     lambda references cheap input)."""
     n = F.size(h)
+    # least(element_at...) instead of array_min(slice...): slice allocates
+    # a w-element array per window (the word_grams allocation win, r6);
+    # windows are full by the sequence bound, so the minima are identical
     wins = F.when(
         n >= w,
         F.transform(F.sequence(F.lit(0), n - w),
-                    lambda i: F.array_min(F.slice(h, i + 1, w))),
+                    lambda i: F.least(*[F.element_at(h, i + 1 + j)
+                                        for j in range(w)])),
     ).otherwise(
         F.when(n > 0, F.array(F.array_min(h)))
         .otherwise(F.array().cast("array<bigint>"))

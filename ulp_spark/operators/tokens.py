@@ -1642,12 +1642,16 @@ def token_shingle_hashes(tokens: Column, k: int = GRAM) -> Column:
     from ulp_spark.operators.dedup import _md5_bigint
 
     n = F.size(tokens)
+    # element_at instead of slice+transform (the word_grams allocation
+    # win, r6): every window is full by the sequence bound, so the CSV
+    # strings — and hence the md5 values — are identical
     csvs = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda j: F.concat_ws(",", F.transform(
-                F.slice(tokens, j, k), lambda t: t.cast("string"))),
+            lambda j: F.concat_ws(",", *[
+                F.element_at(tokens, j + i).cast("string")
+                for i in range(k)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_sort(F.array_distinct(
@@ -1878,7 +1882,7 @@ def sequence_dedup_groups(
     runs on verified edges at O(log diameter) rounds.
     """
     from ulp_spark.operators.dedup import (
-        connected_components, jaccard, minhash_candidates_from_hashes)
+        connected_components, jaccard_distinct, minhash_candidates_from_hashes)
 
     toks = F.col(tokens_col)
     h = (
@@ -1893,7 +1897,7 @@ def sequence_dedup_groups(
     b = h.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b"))
     verified = (
         pairs.join(a, "id_a").join(b, "id_b")
-        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .filter(jaccard_distinct(F.col("sh_a"), F.col("sh_b")) >= threshold)
         .select("id_a", "id_b")
     )
     cc = connected_components(verified)
