@@ -153,6 +153,10 @@ def sniff_code(col: Column) -> Column:
     numericish = F.instr(F.lit("0123456789+-."), first_t) > 0
     floatish = numericish | F.lower(first_t).isin("i", "n")
     digit_start = F.instr(F.lit("0123456789"), F.substring(col, 1, 1)) > 0
+    # every dotted-quad contains '.', so digit-start non-dotted values
+    # (timestamps, plain ints) skip the IPv4 regex — same superset-gate
+    # rule as the other gates, classification unchanged (r6)
+    has_dot = F.instr(col, ".") > 0
     # '-' is not in the IPv6 alphabet, so RFC3339 timestamps (very common in
     # log fields, always colon-bearing) must not reach the 11-alternation
     # IPv6 regex — without this gate it ran on every timestamp row and
@@ -166,7 +170,7 @@ def sniff_code(col: Column) -> Column:
         .when(numericish & iv.isNotNull(), F.lit(INT))
         .when(floatish & (col.rlike(RE_FLOAT) | col.rlike(RE_FLOAT_SPECIAL)),
               F.lit(FLOAT))
-        .when(digit_start & col.rlike(RE_IPV4), F.lit(IPV4))
+        .when(digit_start & has_dot & col.rlike(RE_IPV4), F.lit(IPV4))
         .when(has_colon & col.rlike(RE_IPV6), F.lit(IPV6))
         .when(digit_start & col.rlike(RE_DATE), F.lit(DATE))
         .otherwise(F.lit(STR))

@@ -77,21 +77,39 @@ def cast_single_pass(
     from pyspark.sql.functions import broadcast
 
     dim = schema_dim(spark, route_schemas, fields, route_col)
+    # Helper columns (str_int/str_bool/str_float regex batteries) only for
+    # fields whose target set can READ them: NULL/IPV4/IPV6/DATE casts
+    # never touch iv/bv/fv (cast_field embeds helpers per target branch),
+    # so e.g. a DATE-only field — typically the timestamp, whose
+    # digit-leading values pay the full numeric battery — skips all three
+    # eager columns.  Identical outputs: unused columns never reached the
+    # plan's cast branches anyway (r6; guide §2.3 "don't compute what you
+    # throw away").
+    _HELPER_TARGETS = {sniff.BOOL, sniff.INT, sniff.FLOAT, sniff.STR}
+    field_targets = {
+        f: sorted({s[f] for s in route_schemas.values()
+                   if s.get(f) is not None})
+        for f in fields
+    }
+    helper_fields = [f for f in fields
+                     if _HELPER_TARGETS & set(field_targets[f])]
     staged = (
         df.join(broadcast(dim.withColumn("__known", F.lit(True))),
                 on=route_col, how="left")
-        .select("*", *[c for f in fields for c in casts.helper_columns(f)])
+        .select("*", *[c for f in helper_fields
+                       for c in casts.helper_columns(f)])
     )
     err_any = F.coalesce(F.col("__known"), F.lit(False)) == F.lit(False)
     out_cols: list[Column] = []
     for f in fields:
         value, rcode = F.col(f), F.col(f"{f}__r")
-        helpers = dict(iv=F.col(f"{f}__iv"), bv=F.col(f"{f}__bv"),
-                       fv=F.col(f"{f}__fv"))
+        if f in helper_fields:
+            helpers = dict(iv=F.col(f"{f}__iv"), bv=F.col(f"{f}__bv"),
+                           fv=F.col(f"{f}__fv"))
+        else:
+            helpers = dict(iv=None, bv=None, fv=None)
         tcol = F.col(f"{f}__target")
-        targets = sorted({
-            s[f] for s in route_schemas.values() if s.get(f) is not None
-        })
+        targets = field_targets[f]
         casted = F.lit(None).cast("string")
         for t in targets:
             v, e = _repr_str(value, rcode, t, helpers)
