@@ -64,12 +64,15 @@ def token_grams(tokens: Column, k: int = GRAM) -> Column:
     Hashing each window keeps the join key 16 bytes regardless of k and
     sidesteps array-equality join keys on both engines."""
     n = F.size(tokens)
+    # element_at instead of slice+transform (the word_grams allocation
+    # win, r6): windows are full by the sequence bound, identical md5 keys
     windows = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda j: F.md5(F.concat_ws(",", F.transform(
-                F.slice(tokens, j, k), lambda t: t.cast("string")))),
+            lambda j: F.md5(F.concat_ws(",", *[
+                F.element_at(tokens, j + i).cast("string")
+                for i in range(k)])),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return windows
