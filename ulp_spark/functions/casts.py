@@ -108,7 +108,7 @@ def ipv6_canonical(col: Column) -> Column:
     return _ipv6_udf_cache[1](col)
 
 
-def _date_canonical(col: Column) -> Column:
+def _date_canonical(col: Column, is_date: Column | None = None) -> Column:
     """RFC3339 -> UTC RFC3339 with '+00:00' (chrono to_rfc3339, lib.rs:377).
 
     Implemented entirely on TIMESTAMP_NTZ + explicit offset arithmetic so
@@ -130,8 +130,9 @@ def _date_canonical(col: Column) -> Column:
                 + F.substring(off, 5, 2).cast("int")))
     utc = base - F.make_interval(mins=off_min)
     frac = F.regexp_extract(col, r"(\.[0-9]+)", 1)
+    shape_ok = col.rlike(RE_DATE) if is_date is None else is_date
     return F.when(
-        col.rlike(RE_DATE) & base.isNotNull(),
+        shape_ok & base.isNotNull(),
         F.concat(F.date_format(utc, "yyyy-MM-dd'T'HH:mm:ss"), frac, F.lit("+00:00")),
     )
 
@@ -160,6 +161,7 @@ def cast_field(
     iv: Column | None = None,
     bv: Column | None = None,
     fv: Column | None = None,
+    sniff_code: Column | None = None,
 ) -> tuple[Column, Column]:
     """Cast one field to a target type code.
 
@@ -171,6 +173,17 @@ def cast_field(
 
     ``iv``/``bv``/``fv`` accept pre-computed :func:`helper_columns` to avoid
     re-inlining the heavy sub-expressions in multi-route cascades.
+
+    ``sniff_code`` optionally passes the field's ALREADY-SNIFFED type code
+    (the parse stage's ``<f>__t``).  The DATE branch then tests
+    ``sniff_code == DATE`` instead of re-running the calendar regex —
+    provably the same predicate: the sniff cascade classifies a string as
+    DATE iff it matches RE_DATE (every earlier branch fails on any
+    RE_DATE-shaped value: int/float/hex literals cannot contain the
+    mandatory '-', the IPv4 quad has no '-', the IPv6 branch is gated on
+    "contains ':' and no '-'", and the NULL/BOOL word forms are
+    length-incompatible), and the DATE branch itself is that rlike.
+    Callers without a staged sniff column omit it and keep the regex.
     """
     iv = iv if iv is not None else sniff._int_value(value)
     bv = bv if bv is not None else _bool_value(value)
@@ -247,7 +260,9 @@ def cast_field(
         return F.when(ok, ipv6_canonical(value)), ~ok
 
     if target == DATE:
-        canon = _date_canonical(value)
+        canon = _date_canonical(
+            value,
+            None if sniff_code is None else sniff_code == DATE)
         ok = is_str & canon.isNotNull()
         return F.when(ok, canon), ~ok
 

@@ -103,11 +103,17 @@ def cast_single_pass(
     out_cols: list[Column] = []
     for f in fields:
         value, rcode = F.col(f), F.col(f"{f}__r")
+        # the parse stage's sniff verdict rides along so the DATE cast can
+        # test it instead of re-running the calendar regex per row
+        # (casts.cast_field docstring proves the predicate equivalence);
+        # frames without a __t column (not the pipeline shape) keep the
+        # regex path
+        sc_col = F.col(f"{f}__t") if f"{f}__t" in df.columns else None
         if f in helper_fields:
             helpers = dict(iv=F.col(f"{f}__iv"), bv=F.col(f"{f}__bv"),
-                           fv=F.col(f"{f}__fv"))
+                           fv=F.col(f"{f}__fv"), sniff_code=sc_col)
         else:
-            helpers = dict(iv=None, bv=None, fv=None)
+            helpers = dict(iv=None, bv=None, fv=None, sniff_code=sc_col)
         tcol = F.col(f"{f}__target")
         targets = field_targets[f]
         casted = F.lit(None).cast("string")
@@ -178,6 +184,8 @@ def cast_per_route(
             v, e = casts.cast_field(
                 F.col(f), F.col(f"{f}__r"), target,
                 iv=F.col(f"{f}__iv"), bv=F.col(f"{f}__bv"), fv=F.col(f"{f}__fv"),
+                sniff_code=(F.col(f"{f}__t")
+                            if f"{f}__t" in df.columns else None),
             )
             cols.append(v.cast(_NATIVE[target]).alias(f))
             err = err | e
